@@ -1,0 +1,248 @@
+"""JAX ops vs the numpy oracle (reference C semantics).
+
+House pattern from the reference tests: an independent naive
+implementation, self-tested on tiny cases, then compared against the
+optimised implementation - here additionally across batch padding, so
+variable-length batching is proven not to leak into valid outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import oracle
+from flappie_tpu.ops import crf as crf_ops
+from flappie_tpu.ops import rnn as rnn_ops
+from flappie_tpu.ops.conv import conv1d_same
+from flappie_tpu.ops.heads import globalnorm_flipflop, globalnorm_runlengthV2
+from flappie_tpu.ops.masking import mask_tail, reverse_sequence
+
+RNG = np.random.default_rng(42)
+
+
+def rnd(*shape, scale=1.0):
+    return (RNG.normal(size=shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# conv
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("winlen,stride,T", [(5, 1, 20), (19, 5, 33), (4, 2, 10), (3, 3, 7), (11, 5, 100)])
+def test_conv_matches_oracle(winlen, stride, T):
+    Cin, Cout = 3, 8
+    x = rnd(T, Cin)
+    W = rnd(winlen, Cin, Cout, scale=0.3)
+    b = rnd(Cout)
+    want = oracle.conv_same(x.astype(np.float64), W, b, stride)
+    got = conv1d_same(jnp.asarray(x)[None], jnp.asarray(W), jnp.asarray(b), stride)[0]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_conv_batch_padding_no_leak():
+    """A padded batch must give the same valid outputs as unpadded."""
+    winlen, stride = 19, 5
+    Cin, Cout = 1, 4
+    W, b = rnd(winlen, Cin, Cout, scale=0.3), rnd(Cout)
+    T_short, T_pad = 53, 80
+    x = rnd(T_short, Cin)
+    xpad = np.zeros((T_pad, Cin), np.float32)
+    xpad[:T_short] = x
+    solo = conv1d_same(jnp.asarray(x)[None], W, b, stride)[0]
+    padded = conv1d_same(jnp.asarray(xpad)[None], W, b, stride)[0]
+    nblk = -(-T_short // stride)
+    np.testing.assert_allclose(padded[:nblk], solo, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# rnn
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind,gates", [("lstm", 4), ("grumod", 3)])
+def test_rnn_matches_oracle(kind, gates):
+    T, H = 31, 12
+    xa = rnd(T, gates * H)
+    sW = rnd(H, gates * H, scale=0.3)
+    want = getattr(oracle, kind)(xa.astype(np.float64), sW.astype(np.float64))
+    fn = {"lstm": rnn_ops.lstm_seq, "grumod": rnn_ops.grumod_seq}[kind]
+    got = fn(jnp.asarray(xa)[None], jnp.asarray(sW))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_reverse_sequence():
+    x = np.arange(2 * 5 * 1, dtype=np.float32).reshape(2, 5, 1)
+    lengths = np.array([3, 5])
+    y = np.asarray(reverse_sequence(jnp.asarray(x), jnp.asarray(lengths)))
+    assert y[0, :, 0].tolist() == [2, 1, 0, 3, 4]
+    assert y[1, :, 0].tolist() == [9, 8, 7, 6, 5]
+    # involution on valid region
+    z = np.asarray(reverse_sequence(jnp.asarray(y), jnp.asarray(lengths)))
+    np.testing.assert_array_equal(z, x)
+
+
+def test_backward_rnn_with_padding_matches_unpadded():
+    """Backward LSTM via reverse_sequence: padded batch == solo run."""
+    T, Tpad, H = 17, 29, 8
+    xa = rnd(T, 4 * H)
+    sW = rnd(H, 4 * H, scale=0.3)
+    solo = oracle.run_rnn(xa.astype(np.float64), sW.astype(np.float64), "lstm", backward=True)
+    xpad = np.zeros((Tpad, 4 * H), np.float32)
+    xpad[:T] = xa
+    lengths = jnp.asarray([T])
+    xr = reverse_sequence(jnp.asarray(xpad)[None], lengths)
+    y = rnn_ops.lstm_seq(xr, jnp.asarray(sW))
+    y = reverse_sequence(y, lengths)[0]
+    np.testing.assert_allclose(np.asarray(y)[:T], solo, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# flip-flop CRF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nbase", [4, 5])
+def test_partition_matches_oracle(nbase):
+    T = 50
+    nparam = 2 * nbase * (nbase + 1)
+    trans = rnd(T, nparam, scale=2.0)
+    want = oracle.ff_partition(trans.astype(np.float64), nbase)
+    got = crf_ops.crf_partition(
+        jnp.asarray(trans)[None], jnp.asarray([T]), nbase
+    )[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_partition_masked():
+    nbase, T, Tpad = 4, 37, 64
+    nparam = 40
+    trans = rnd(T, nparam, scale=2.0)
+    tpad = np.zeros((Tpad, nparam), np.float32)
+    tpad[:T] = trans
+    want = oracle.ff_partition(trans.astype(np.float64), nbase)
+    got = crf_ops.crf_partition(jnp.asarray(tpad)[None], jnp.asarray([T]), nbase)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("nbase", [4, 5])
+def test_viterbi_matches_oracle(nbase):
+    T, Tpad = 60, 75
+    nparam = 2 * nbase * (nbase + 1)
+    trans = rnd(T, nparam, scale=2.0)
+    tpad = np.zeros((Tpad, nparam), np.float32)
+    tpad[:T] = trans
+    wscore, wpath, wq = oracle.ff_viterbi(trans.astype(np.float64), nbase)
+    score, path, qpath = crf_ops.crf_viterbi(
+        jnp.asarray(tpad)[None], jnp.asarray([T]), nbase
+    )
+    np.testing.assert_allclose(score[0], wscore, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(path)[0, : T + 1], wpath)
+    got_q = np.asarray(qpath)[0, : T + 1]
+    assert np.isnan(got_q[0]) and np.isnan(wq[0])
+    np.testing.assert_allclose(got_q[1:], wq[1:], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nbase", [4, 5])
+def test_transpost_matches_oracle(nbase):
+    T, Tpad = 40, 50
+    nparam = 2 * nbase * (nbase + 1)
+    trans = rnd(T, nparam, scale=2.0)
+    tpad = np.zeros((Tpad, nparam), np.float32)
+    tpad[:T] = trans
+    want = oracle.ff_transpost(trans.astype(np.float64), nbase)
+    got = crf_ops.crf_transpost(jnp.asarray(tpad)[None], jnp.asarray([T]), nbase)
+    np.testing.assert_allclose(np.asarray(got)[0, :T], want, rtol=1e-4, atol=1e-4)
+
+
+def test_trace_matches_oracle():
+    nbase, T = 4, 25
+    nparam = 40
+    trans = rnd(T, nparam, scale=2.0)
+    tpost = oracle.ff_transpost(trans.astype(np.float64), nbase, return_log=False)
+    want = oracle.ff_trace(tpost, nbase)
+    got = crf_ops.trace_from_posterior(jnp.asarray(tpost.astype(np.float32))[None], nbase)[0]
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.uint8))
+
+
+def test_rle_partition_matches_oracle():
+    nbase, T = 4, 30
+    ntrans = 2 * nbase * nbase
+    trans = rnd(T, ntrans, scale=2.0)
+    want = oracle.rle_partition(trans.astype(np.float64), nbase)
+    got = crf_ops.crf_partition(
+        jnp.asarray(trans)[None], jnp.asarray([T]), nbase, idx=crf_ops.rle_index(nbase)
+    )[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_rle_viterbi_matches_oracle():
+    nbase, T = 4, 45
+    ntrans = 2 * nbase * nbase
+    trans = rnd(T, ntrans, scale=2.0)
+    wscore, wpath = oracle.rle_viterbi(trans.astype(np.float64), nbase)
+    idx = crf_ops.rle_index(nbase)
+    score, path, _ = crf_ops.crf_viterbi(
+        jnp.asarray(trans)[None], jnp.asarray([T]), nbase, idx=idx
+    )
+    np.testing.assert_allclose(score[0], wscore, rtol=1e-5, atol=1e-5)
+    # RLE path convention: path[t] = state after transition t, i.e. the
+    # flip-flop-style [T+1] device path shifted by one.
+    np.testing.assert_array_equal(np.asarray(path)[0, 1:], wpath)
+
+
+# ---------------------------------------------------------------------------
+# heads
+# ---------------------------------------------------------------------------
+
+
+def test_globalnorm_flipflop_matches_oracle():
+    T, H, nbase = 22, 16, 4
+    x = rnd(T, H)
+    W = rnd(H, 40, scale=0.3)
+    b = rnd(40)
+    temp = 0.9
+    want = oracle.globalnorm_flipflop(
+        x.astype(np.float64), W.astype(np.float64), b.astype(np.float64), temp, nbase
+    )
+    got = globalnorm_flipflop(
+        jnp.asarray(x)[None], jnp.asarray(W), jnp.asarray(b), temp, jnp.asarray([T]), nbase
+    )[0]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_globalnorm_runlengthV2_shapes_and_ranges():
+    T, H, nbase = 18, 16, 4
+    x = rnd(T, H)
+    W = rnd(H, 40, scale=0.3)
+    b = rnd(40)
+    out = np.asarray(
+        globalnorm_runlengthV2(
+            jnp.asarray(x)[None], jnp.asarray(W), jnp.asarray(b), 1.0, jnp.asarray([T]), nbase
+        )[0]
+    )
+    assert out.shape == (T, 40)
+    assert (out[:, :4] >= 1.0).all()  # shape = 1 + softplus
+    assert (out[:, 4:8] > 0.0).all()  # scale = eta + softplus
+
+
+def test_transitions_input_tail_masked():
+    """Data beyond `lengths` in the input buffer must not affect valid
+    outputs (the reference conv zero-pads past the read end)."""
+    from flappie_tpu.models import get_model_config, init_synthetic, transitions
+
+    cfg = get_model_config("r941_native")
+    params = init_synthetic(cfg, seed=0)
+    T, L = 640, 431
+    sig = rnd(T)
+    a, na = transitions(params, cfg, jnp.asarray(sig)[None], jnp.asarray([L]))
+    garbage = sig.copy()
+    garbage[L:] = 99.0
+    b, nb = transitions(params, cfg, jnp.asarray(garbage)[None], jnp.asarray([L]))
+    n = int(np.asarray(na)[0])
+    np.testing.assert_allclose(
+        np.asarray(a)[0, :n], np.asarray(b)[0, :n], rtol=1e-5, atol=1e-5
+    )
