@@ -1,0 +1,181 @@
+"""End-to-end basecalling: raw reads -> BasecallResult.
+
+The TPU-native replacement for the reference per-read driver
+(calculate_post, src/flappie.c:245-316): reads are preprocessed on
+host, bucketed to static shapes, and batched through one jitted device
+program that runs the network forward, the CRF forward-backward (unless
+viterbi-only) and the Viterbi decode with on-device traceback.  Host
+code only converts paths to strings and formats output.
+
+Decode-mode semantics (src/flappie.c:276-300):
+- default (fb): Viterbi runs over the *normalised log posterior* from
+  transpost_crf_flipflop, so qualities are posterior-derived;
+- --viterbi: Viterbi runs over the raw transition weights;
+- the trace matrix is built from exp() of whichever matrix was decoded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode.seq import path_to_basecall
+from .io.fastx import BasecallResult
+from .models.config import ModelConfig, get_model_config
+from .models.network import transitions
+from .models.params import init_synthetic, load_npz, validate
+from .ops.crf import crf_transpost, crf_viterbi, trace_from_posterior
+from .signal.preprocess import RawTable, normalise_signal, trim_and_segment
+
+F32 = np.float32
+
+MIN_BUCKET = 2048
+
+
+def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
+    """Pad target: next power-of-two bucket (bounds jit recompiles)."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace"))
+def _device_basecall(params, signal, lengths, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool):
+    trans, nblocks = transitions(params, cfg, signal, lengths, temperature)
+    if viterbi_only:
+        mat = trans
+    else:
+        mat = crf_transpost(trans, nblocks, cfg.nbase, return_log=True)
+    score, path, qpath = crf_viterbi(mat, nblocks, cfg.nbase)
+    if compute_trace:
+        trace = trace_from_posterior(jnp.exp(mat), cfg.nbase)
+    else:
+        trace = jnp.zeros((signal.shape[0], 1, cfg.nstate), jnp.uint8)
+    return score, path, qpath, nblocks, trace
+
+
+class Basecaller:
+    """Batched basecaller for one model.
+
+    Jit-compiles one program per (bucket length, batch size); reuse the
+    instance across reads to amortise compilation.
+    """
+
+    def __init__(
+        self,
+        model: str = "r941_native",
+        params=None,
+        checkpoint: Optional[str] = None,
+        temperature: float = 1.0,
+        viterbi_only: bool = False,
+        compute_trace: bool = True,
+        seed: int = 0,
+    ):
+        self.cfg = get_model_config(model) if isinstance(model, str) else model
+        if params is None:
+            if checkpoint is not None:
+                params = load_npz(checkpoint)
+            else:
+                params = init_synthetic(self.cfg, seed=seed)
+        validate(params, self.cfg)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.temperature = float(temperature)
+        self.viterbi_only = bool(viterbi_only)
+        self.compute_trace = bool(compute_trace)
+
+    # -- device side ------------------------------------------------------
+
+    def call_batch(self, signals: np.ndarray, lengths: np.ndarray):
+        """signals: [B, T] float32 (zero-padded), lengths: [B].
+
+        Returns host numpy (score, path, qpath, nblocks, trace).
+        """
+        out = _device_basecall(
+            self.params,
+            jnp.asarray(signals),
+            jnp.asarray(np.asarray(lengths, np.int32)),
+            self.cfg,
+            self.temperature,
+            self.viterbi_only,
+            self.compute_trace,
+        )
+        return tuple(np.asarray(x) for x in out)
+
+    # -- full pipeline ----------------------------------------------------
+
+    def basecall_raw_tables(
+        self,
+        reads: Sequence[RawTable],
+        trim_start: int = 200,
+        trim_end: int = 10,
+        varseg_chunk: int = 100,
+        varseg_thresh: float = 0.0,
+        delta: float = 0.0,
+        reverse: bool = False,
+        max_batch: int = 32,
+    ) -> List[Optional[BasecallResult]]:
+        """Preprocess, bucket, batch and decode a set of reads.
+
+        Returns one BasecallResult per input (None where the read failed),
+        in input order.
+        """
+        prepped = []  # (orig_idx, rt)
+        results: List[Optional[BasecallResult]] = [None] * len(reads)
+        for i, rt in enumerate(reads):
+            if rt.raw is None:
+                continue
+            rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
+            if not rt.valid:
+                continue
+            normalise_signal(rt, delta)
+            prepped.append((i, rt))
+
+        # Group by bucket to keep shapes static; batch within bucket.
+        by_bucket: dict = {}
+        for i, rt in prepped:
+            b = bucket_length(rt.end - rt.start)
+            by_bucket.setdefault(b, []).append((i, rt))
+
+        for bucket, items in sorted(by_bucket.items()):
+            for ofs in range(0, len(items), max_batch):
+                chunk = items[ofs : ofs + max_batch]
+                B = len(chunk)
+                sig = np.zeros((B, bucket), F32)
+                lengths = np.zeros(B, np.int32)
+                for j, (_, rt) in enumerate(chunk):
+                    seg = rt.active()
+                    sig[j, : seg.size] = seg
+                    lengths[j] = seg.size
+                score, path, qpath, nblocks, trace = self.call_batch(sig, lengths)
+                for j, (i, rt) in enumerate(chunk):
+                    results[i] = self._assemble(
+                        rt, score[j], path[j], qpath[j], int(nblocks[j]), trace[j], reverse
+                    )
+        return results
+
+    def basecall_read(self, rt: RawTable, **kw) -> Optional[BasecallResult]:
+        return self.basecall_raw_tables([rt], **kw)[0]
+
+    def _assemble(self, rt, score, path, qpath, nblock, trace, reverse) -> BasecallResult:
+        basecall, quality = path_to_basecall(path, qpath, nblock, self.cfg.nbase)
+        if reverse:
+            basecall = basecall[::-1]
+            quality = quality[::-1]
+        return BasecallResult(
+            uuid=rt.uuid,
+            score=float(score),
+            basecall=basecall,
+            quality=quality,
+            nblock=nblock,
+            nsample=rt.n,
+            trim_start=rt.start,
+            trim_end=rt.end,
+            trace=trace[: nblock + 1] if self.compute_trace else None,
+            signal=rt.active().copy(),
+        )

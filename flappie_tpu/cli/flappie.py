@@ -1,0 +1,198 @@
+"""flappie-compatible CLI (reference: src/flappie.c:42-399).
+
+Flag surface, defaults, glob/dir expansion and per-read fault isolation
+mirror the reference; the execution model is batched: reads are
+collected, bucketed and basecalled in device batches instead of one
+process per read.
+
+Weights: ``--checkpoint`` loads an npz checkpoint; without one, a
+deterministic synthetic checkpoint is used (the reference's compiled-in
+weights are git-LFS pointers in this source tree).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import os
+import sys
+
+from ..basecall import Basecaller
+from ..io.fastx import OUTFORMATS, format_read
+from ..io.trace_h5 import TraceWriter
+from ..models.config import FLAPPIE_MODELS, MODELS
+from ..signal.fast5 import read_raw
+
+DEFAULT_MODEL = "r941_native"
+
+
+def model_help_text(default_model: str = DEFAULT_MODEL, models=FLAPPIE_MODELS) -> str:
+    lines = []
+    for name in models:
+        cfg = MODELS[name]
+        tag = "(default)" if name == default_model else ""
+        lines.append(f"{name:>10} : {cfg.description}  {tag}")
+    return "\n".join(lines) + "\n"
+
+
+def trim_pair(arg: str):
+    parts = arg.split(":")
+    start = int(parts[0])
+    end = int(parts[1]) if len(parts) > 1 and parts[1] else start
+    if start < 0 or end < 0:
+        raise argparse.ArgumentTypeError("trim values must be >= 0")
+    return start, end
+
+
+def segmentation_pair(arg: str):
+    parts = arg.split(":")
+    if len(parts) != 2:
+        raise argparse.ArgumentTypeError("--segmentation should be of form chunk:percentile")
+    chunk = int(parts[0])
+    thresh = float(parts[1]) / 100.0
+    if not (0.0 < thresh < 1.0):
+        raise argparse.ArgumentTypeError("percentile must be in (0, 100)")
+    return chunk, thresh
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flappie",
+        description="Flappie basecaller -- basecall from raw signal",
+    )
+    p.add_argument("files", nargs="+", metavar="fast5", help="fast5 file or directory")
+    p.add_argument("--delta", "-d", type=float, default=0.0, metavar="factor",
+                   help="Use delta samples with scaling factor")
+    p.add_argument("--format", "-f", default="fastq", metavar="format",
+                   help="Format to output reads (fasta, fastq or sam)")
+    p.add_argument("--limit", "-l", type=int, default=0, metavar="nreads",
+                   help="Maximum number of reads to call (0 is unlimited)")
+    p.add_argument("--model", "-m", default=DEFAULT_MODEL, metavar="name",
+                   help='Model to use ("help" to list)')
+    p.add_argument("--output", "-o", default=None, metavar="filename",
+                   help="Write to file rather than stdout")
+    p.add_argument("--prefix", "-p", default="", metavar="string",
+                   help="Prefix to append to name of each read")
+    p.add_argument("--reverse", "-r", dest="reverse", action="store_true", default=False,
+                   help="Reverse output base calls")
+    p.add_argument("--no-reverse", dest="reverse", action="store_false",
+                   help="Don't reverse output base calls")
+    p.add_argument("--temperature", type=float, default=1.0, metavar="factor",
+                   help="Temperature for weights")
+    p.add_argument("--trim", "-t", type=trim_pair, default=(200, 10), metavar="start:end",
+                   help="Number of samples to trim, as start:end")
+    p.add_argument("--trace", "-T", default=None, metavar="filename",
+                   help="Dump trace to HDF5 file")
+    p.add_argument("--licence", "--license", action="store_true", default=False,
+                   help="Print licensing information")
+    p.add_argument("--segmentation", type=segmentation_pair, default=(100, 0.0),
+                   metavar="chunk:percentile",
+                   help="Chunk size and percentile for variance based segmentation")
+    p.add_argument("--viterbi", "-v", dest="viterbi", action="store_true", default=False,
+                   help="Use viterbi decoding only")
+    p.add_argument("--no-viterbi", "--fb", dest="viterbi", action="store_false",
+                   help="Use forward-backward followed by viterbi")
+    p.add_argument("--hdf5-compression", type=int, default=1, metavar="level",
+                   help="Gzip compression level for HDF5 output (0:off, 1:quickest, 9:best)")
+    p.add_argument("--hdf5-chunk", type=int, default=200, metavar="size",
+                   help="Chunk size for HDF5 output")
+    p.add_argument("--uuid", dest="uuid", action="store_true", default=True,
+                   help="Output UUID")
+    p.add_argument("--no-uuid", dest="uuid", action="store_false",
+                   help="Output read file")
+    # flappie-tpu extensions
+    p.add_argument("--checkpoint", default=None, metavar="npz",
+                   help="Model weights (npz checkpoint); synthetic if omitted")
+    p.add_argument("--batch", type=int, default=32, metavar="B",
+                   help="Maximum device batch size")
+    return p
+
+
+def expand_files(args_files):
+    """Directory -> dir/*.fast5 glob; warn on misses (flappie.c:338-362)."""
+    out = []
+    for f in args_files:
+        pattern = os.path.join(f, "*.fast5") if os.path.isdir(f) else f
+        matches = sorted(globmod.glob(pattern))
+        if not matches:
+            print(
+                f'File or directory "{f}" does not exist or no fast5 files found.',
+                file=sys.stderr,
+            )
+            continue
+        out.extend(matches)
+    return out
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.licence:
+        print("flappie-tpu: a TPU-native reimplementation of the Flappie basecaller.")
+        print("Original Flappie is (c) Oxford Nanopore Technologies, Ltd (ONT Public Licence).")
+        return 0
+
+    if args.model.lower() == "help":
+        sys.stdout.write(model_help_text())
+        return 0
+    if args.model not in MODELS:
+        print(f'Invalid Flappie model "{args.model}".')
+        sys.stdout.write(model_help_text())
+        return 1
+    if args.format not in OUTFORMATS:
+        print(f'Unrecognised output format "{args.format}".', file=sys.stderr)
+        return 1
+    assert args.temperature > 0.0
+
+    files = expand_files(args.files)
+    if args.limit > 0:
+        files = files[: args.limit]
+
+    caller = Basecaller(
+        model=args.model,
+        checkpoint=args.checkpoint,
+        temperature=args.temperature,
+        viterbi_only=args.viterbi,
+        compute_trace=args.trace is not None,
+    )
+
+    out = open(args.output, "w") if args.output else sys.stdout
+
+    reads, names = [], []
+    for fn in files:
+        rt = read_raw(fn, scale_to_pA=True)
+        reads.append(rt)
+        names.append(os.path.basename(fn))
+
+    trim_start, trim_end = args.trim
+    varseg_chunk, varseg_thresh = args.segmentation
+    results = caller.basecall_raw_tables(
+        reads,
+        trim_start=trim_start,
+        trim_end=trim_end,
+        varseg_chunk=varseg_chunk,
+        varseg_thresh=varseg_thresh,
+        delta=args.delta,
+        reverse=args.reverse,
+        max_batch=args.batch,
+    )
+
+    with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
+        for fn, name, res in zip(files, names, results):
+            if res is None:
+                print(f"No basecall returned for {fn}", file=sys.stderr)
+                continue
+            out.write(
+                format_read(args.format, res.uuid, name, args.uuid, args.prefix, res)
+            )
+            out.flush()
+            tracer.write(res.uuid if args.uuid else name, res)
+
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

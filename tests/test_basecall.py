@@ -1,0 +1,202 @@
+"""End-to-end basecalling tests: decode path -> strings -> CLI output.
+
+The reference weights are LFS pointers, so end-to-end runs use
+deterministic synthetic checkpoints; decode/formatting semantics are
+still pinned against the numpy oracle and the C format strings.
+"""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import oracle
+from flappie_tpu.basecall import Basecaller, bucket_length
+from flappie_tpu.decode.seq import change_positions, path_to_basecall, phred_chars
+from flappie_tpu.io.crp import read_crp
+from flappie_tpu.io.fastx import BasecallResult, format_fasta, format_fastq, format_sam
+from flappie_tpu.signal.preprocess import RawTable
+
+FIX = "/root/reference/src/test"
+
+
+@pytest.fixture(scope="module")
+def norm_signal():
+    return read_crp(f"{FIX}/normalised_signal.crp").reshape(-1)
+
+
+@pytest.fixture(scope="module")
+def caller():
+    return Basecaller("r941_native", seed=0, compute_trace=True)
+
+
+def _fake_rt(sig):
+    raw = sig.copy()
+    return RawTable("uuid-1234", raw.size, 0, raw.size, raw)
+
+
+def test_change_positions_semantics():
+    # npos excludes the final path entry (reference quirk)
+    path = np.array([0, 0, 1, 1, 2, 3])
+    idx = change_positions(path, 5)  # only first 5 entries
+    assert idx.tolist() == [2, 4]
+
+
+def test_phred_chars_known_values():
+    # p=0.9 -> q=10 -> chr(43) '+'; p->1 clipped at 0.99999 -> q=50 -> 'S'
+    assert phred_chars(np.array([0.9], np.float32))[0] == ord("+")
+    assert phred_chars(np.array([0.999999], np.float32))[0] == 33 + 50
+    # tiny p -> q ~ 0 -> '!'
+    assert phred_chars(np.array([1e-8], np.float32))[0] == 33
+
+
+def test_path_to_basecall_matches_manual():
+    nbase = 4
+    path = np.array([0, 0, 5, 5, 2, 2, 1])  # nblock = 6 -> entries 0..5 compared
+    qpath = np.log(np.array([np.nan, 0.5, 0.9, 0.8, 0.7, 0.6, 0.5], np.float32))
+    seq, qual = path_to_basecall(path, qpath, 6, nbase)
+    # changes at idx 2 (5 -> flop of C... 5 % 4 = 1 -> C) and idx 4 (2 -> G)
+    assert seq == "CG"
+    assert len(qual) == 2
+    assert qual[0] == chr(phred_chars(np.array([0.9], np.float32))[0])
+
+
+def test_fastq_format_exact():
+    res = BasecallResult(
+        uuid="abcd-1234",
+        score=-1234.5,
+        basecall="ACGT",
+        quality="!!+S",
+        nblock=100,
+        nsample=5000,
+        trim_start=200,
+        trim_end=4990,
+    )
+    got = format_fastq("abcd-1234", "read.fast5", True, "px", res)
+    assert got == (
+        '@pxabcd-1234  { "filename" : "read.fast5", "uuid" : "abcd-1234", '
+        '"normalised_score" : 12.345000,  "nblock" : 100,  '
+        '"sequence_length" : 4,  "blocks_per_base" : 25.000000, '
+        '"nsample" : 5000, "trim" : [ 200, 4990 ] }\n'
+        "ACGT\n+\n!!+S\n"
+    )
+
+
+def test_sam_double_print_quirk():
+    res = BasecallResult(
+        uuid="u", score=-1.0, basecall="ACGT", quality="!!!!",
+        nblock=5, nsample=10, trim_start=0, trim_end=10,
+    )
+    got = format_sam("u", "r", True, "", res)
+    assert got == "u\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\t!!!!\nACGT\t!!!!\n"
+
+
+def test_fasta_format():
+    res = BasecallResult(
+        uuid="u", score=-2.0, basecall="AC", quality=None,
+        nblock=4, nsample=10, trim_start=1, trim_end=9,
+    )
+    got = format_fasta("u", "r.fast5", False, "", res)
+    assert got.startswith('>r.fast5  { "filename" : "r.fast5", "uuid" : "u", ')
+    assert got.endswith("}\nAC\n")
+
+
+def test_bucket_length():
+    assert bucket_length(1) == 2048
+    assert bucket_length(2048) == 2048
+    assert bucket_length(2049) == 4096
+    assert bucket_length(37000) == 65536
+
+
+def test_end_to_end_matches_oracle(norm_signal, caller):
+    """Full device pipeline vs the pure-numpy oracle on a real signal."""
+    sig = norm_signal[:4000]
+    rt = RawTable("u", sig.size, 0, sig.size, sig.copy())
+    # bypass trim/normalise (signal already normalised): call device directly
+    T = bucket_length(sig.size)
+    buf = np.zeros((1, T), np.float32)
+    buf[0, : sig.size] = sig
+    score, path, qpath, nblocks, trace = caller.call_batch(buf, np.array([sig.size]))
+    nblk = int(nblocks[0])
+
+    # Oracle: full forward in float64 from the same weights
+    from flappie_tpu.models.params import flatten
+
+    p = {k: np.asarray(v, np.float64) for k, v in flatten(caller.params).items()}
+    cfg = caller.cfg
+    x = sig.astype(np.float64)[:, None]
+    for i, c in enumerate(cfg.convs):
+        x = oracle.conv_same(x, p[f"conv{i}/W"], p[f"conv{i}/b"], c.stride)
+        x = oracle.swish(x)
+    for i, r in enumerate(cfg.rnns):
+        xa = oracle.affine(x, p[f"rnn{i}/iW"], p[f"rnn{i}/b"])
+        x = oracle.run_rnn(xa, p[f"rnn{i}/sW"], r.kind, r.backward)
+    trans = oracle.globalnorm_flipflop(x, p["ff/W"], p["ff/b"], 1.0, cfg.nbase)
+    assert trans.shape[0] == nblk
+    tpost = oracle.ff_transpost(trans, cfg.nbase)
+    oscore, opath, oqpath = oracle.ff_viterbi(tpost, cfg.nbase)
+
+    np.testing.assert_allclose(score[0], oscore, rtol=1e-3, atol=0.5)
+    agree = (path[0, : nblk + 1] == opath).mean()
+    assert agree > 0.999, f"path agreement {agree}"
+
+
+def test_basecall_raw_tables_pipeline(norm_signal, caller):
+    # Feed unnormalised-ish signal through the full host pipeline.
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    unit = np.float32(1373.41) / np.float32(8192.0)
+    pa = (raw + np.float32(16.0)) * unit
+    rt = RawTable("the-uuid", pa.size, 0, pa.size, pa.copy())
+    res = caller.basecall_read(rt)
+    assert res is not None
+    assert res.nblock == caller.cfg.nblocks(37590)
+    assert len(res.basecall) > 100
+    assert len(res.quality) == len(res.basecall)
+    assert set(res.basecall) <= set("ACGT")
+    assert res.trace.shape == (res.nblock + 1, 8)
+    assert res.uuid == "the-uuid"
+    assert res.trim_start == 200 and res.trim_end == 37790
+
+
+def test_cli_smoke(tmp_path, norm_signal):
+    """CLI end-to-end on synthesised fast5 inputs (reference ctest
+    test_flappie_call analogue)."""
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    d = tmp_path / "reads"
+    d.mkdir()
+    write_single_read_fast5(str(d / "a.fast5"), raw, "read-a")
+    write_single_read_fast5(str(d / "b.fast5"), raw[:12000], "read-b")
+
+    out = tmp_path / "out.fastq"
+    from flappie_tpu.cli.flappie import main
+
+    rc = main([str(d), "-o", str(out), "--trace", str(tmp_path / "trace.h5")])
+    assert rc == 0
+    text = out.read_text()
+    recs = [l for l in text.splitlines() if l.startswith("@")]
+    assert len(recs) == 2
+    assert recs[0].startswith("@read-a  ")
+    lines = text.splitlines()
+    assert lines[2] == "+"
+    assert len(lines[1]) == len(lines[3])
+
+    import h5py
+
+    with h5py.File(tmp_path / "trace.h5", "r") as f:
+        assert "read-a" in f and "read-b" in f
+        assert f["read-a/trace"].dtype == np.uint8
+        assert f["read-a/signal"].dtype == np.float32
+
+
+def test_cli_model_help(capsys):
+    from flappie_tpu.cli.flappie import main
+
+    rc = main(["--model", "help", "x.fast5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r941_native" in out and "(default)" in out
+    assert "rle_r941_native" not in out  # runnie-only model not listed
