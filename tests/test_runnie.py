@@ -1,0 +1,137 @@
+"""Runnie (RLE) path tests: device decode vs oracle, .run format, FASTA."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import oracle
+from flappie_tpu.decode.runlength import (
+    RunRecord,
+    dwmean,
+    rle_transpost,
+    rle_viterbi,
+    runlength_to_basecall,
+    runlengths_mean,
+    runs_from_path,
+)
+from flappie_tpu.io.run_format import (
+    read_run_records,
+    rlc_basecall,
+    runlength_basecall,
+    wrap_fasta,
+    write_run_record,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def make_params(T, nbase=4):
+    ntrans = 2 * nbase * nbase
+    shape = 1.0 + np.abs(RNG.normal(size=(T, nbase))).astype(np.float32)
+    scale = 0.5 + np.abs(RNG.normal(size=(T, nbase))).astype(np.float32)
+    trans = (RNG.normal(size=(T, ntrans)) * 2).astype(np.float32)
+    return np.concatenate([shape, scale, trans], axis=-1)
+
+
+def test_rle_viterbi_path_convention():
+    T, nbase = 35, 4
+    params = make_params(T)
+    wscore, wpath = oracle.rle_viterbi(params[:, 8:].astype(np.float64), nbase)
+    score, path = rle_viterbi(jnp.asarray(params)[None], jnp.asarray([T]), nbase)
+    np.testing.assert_allclose(np.asarray(score)[0], wscore, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(path)[0], wpath)
+
+
+def test_rle_transpost_copies_shape_scale():
+    T, nbase = 20, 4
+    params = make_params(T)
+    post = np.asarray(rle_transpost(jnp.asarray(params)[None], jnp.asarray([T]), nbase))[0]
+    np.testing.assert_array_equal(post[:, :8], params[:, :8])
+    assert post.shape == params.shape
+    # posterior block differs from raw trans and is finite
+    assert np.isfinite(post[:, 8:]).all()
+    assert not np.allclose(post[:, 8:], params[:, 8:])
+
+
+def test_runs_from_path_dwell_semantics():
+    nbase = 4
+    # path: A move, stay, stay, C move, stay, G move
+    path = np.array([0, 4, 4, 1, 5, 2])
+    params = np.zeros((6, 40), np.float32)
+    params[:, :4] = np.arange(6)[:, None] + 1  # shape = blk+1
+    params[:, 4:8] = 10.0
+    runs = runs_from_path(params, path, 6, nbase)
+    assert [r.base for r in runs] == ["A", "C", "G"]
+    assert [r.dwell for r in runs] == [3, 2, 1]
+    assert runs[0].shape == 1.0 and runs[1].shape == 4.0
+
+
+def test_run_format_roundtrip():
+    runs = [RunRecord("A", 1.5, 2.25, 3), RunRecord("T", 1.0, 0.5, 1)]
+    buf = io.StringIO()
+    write_run_record(buf, "uuid-x", runs)
+    text = buf.getvalue()
+    assert text.startswith("# uuid-x\nA\t1.500000\t2.250000\t3\n")
+    name, rows = next(read_run_records(io.StringIO(text)))
+    assert name == "uuid-x"
+    assert rows[0][0] == "A" and float(rows[0][2]) == 2.25
+
+
+def test_runlength_basecall_estimator():
+    rows = [["A", "1.0", "3.7", "2"], ["C", "1.0", "0.4", "1"], ["G", "1.0", "1.0", "5"]]
+    # scale factors default: A 1.02 -> floor(3.774)=3; C 1.04*0.4=0.416 -> max(1, 0)=1
+    seq = runlength_basecall(rows)
+    assert seq == "AAAC" + "G" * max(1, int(np.floor(1.0 * 1.04)))
+    assert rlc_basecall(rows) == "ACG"
+    assert runlength_basecall([]) is None
+
+
+def test_wrap_fasta():
+    s = wrap_fasta("r", "A" * 130, 60)
+    lines = s.splitlines()
+    assert lines[0] == ">r"
+    assert len(lines[1]) == 60 and len(lines[3]) == 10
+
+
+def test_dwmean_and_runlengths():
+    # dwmean: sum over i of exp(-(i/scale)^shape)
+    v = dwmean(1.0, 2.0, 100)
+    i = np.arange(1, 101)
+    assert abs(v - np.exp(-(i / 2.0)).sum()) < 1e-9
+    params = np.zeros((3, 40))
+    params[:, :4] = 1.0
+    params[:, 4:8] = 2.0
+    path = np.array([0, -1, 2])
+    runs = runlengths_mean(params, path)
+    assert runs[1] == 0 and runs[0] == runs[2] == 1 + round(dwmean(1.0, 2.0))
+    assert runlength_to_basecall(path, runs) == "A" * runs[0] + "G" * runs[2]
+
+
+def test_runnie_cli_end_to_end(tmp_path, capsys):
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+    from flappie_tpu.cli.runnie import main as runnie_main
+    from flappie_tpu.cli.decode_runnie import main as decode_main
+
+    raw = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    f5 = tmp_path / "r.fast5"
+    write_single_read_fast5(str(f5), raw[:9000], "runnie-read")
+    runfile = tmp_path / "out.run"
+    rc = runnie_main([str(f5), "-o", str(runfile)])
+    assert rc == 0
+    text = runfile.read_text()
+    assert text.startswith("# runnie-read\n")
+    rows = [l.split("\t") for l in text.splitlines()[1:]]
+    assert len(rows) > 10
+    assert all(r[0] in "ACGT" and float(r[1]) >= 1.0 and int(r[3]) >= 1 for r in rows)
+
+    rc = decode_main([str(runfile)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith(">runnie-read\n")
+    seq = "".join(out.splitlines()[1:])
+    assert len(seq) >= len(rows)
+    assert set(seq) <= set("ACGT")
