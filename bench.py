@@ -1,0 +1,84 @@
+"""Benchmark: r941_native basecalling throughput on one chip.
+
+Measures the full device pipeline (network forward + CRF
+forward-backward + Viterbi with traceback) on batches built from the
+bundled real signal fixture, steady-state, and prints ONE JSON line:
+
+    {"metric": "signal_samples_per_second", "value": N,
+     "unit": "samples/s", "vs_baseline": N / 10000.0}
+
+Baseline: single-core CPU flappie publishes no absolute numbers
+(BASELINE.md); we use 10 ksamples/s as the reference point - the
+r941_native network costs ~1.09 MFLOP/sample (2.72 MParam * 2 FLOP /
+stride 5) and the reference's single-threaded SSE sgemv loop sustains
+~10 GFLOP/s, consistent with observed flappie runtimes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from flappie_tpu.basecall import Basecaller
+    from flappie_tpu.io.crp import read_crp
+
+    B = 16
+    T = 65536
+    iters = 8
+
+    caller = Basecaller("r941_native", seed=0, compute_trace=False, viterbi_only=False)
+
+    # Real signal, tiled and jittered to fill the batch
+    sig = read_crp("/root/reference/src/test/normalised_signal.crp").reshape(-1)
+    rng = np.random.default_rng(0)
+    batch = np.zeros((B, T), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b in range(B):
+        reps = int(np.ceil(T / sig.size))
+        row = np.tile(sig, reps)[:T]
+        row += rng.normal(0, 0.05, size=row.shape).astype(np.float32)
+        batch[b] = row
+        lengths[b] = T - rng.integers(0, 5000)
+
+    # Warm up (compile)
+    out = caller.call_batch(batch, lengths)
+    del out
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        score, path, qpath, nblocks, _ = caller.call_batch(batch, lengths)
+    dt = time.perf_counter() - t0
+
+    total_samples = int(lengths.sum()) * iters
+    sps = total_samples / dt
+
+    # Host-side throughput context (not part of the JSON contract)
+    reads_per_s = B * iters / dt
+    print(
+        f"# backend={jax.default_backend()} B={B} T={T} iters={iters} "
+        f"wall={dt:.3f}s reads/s={reads_per_s:.2f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "signal_samples_per_second",
+                "value": round(sps, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(sps / 10000.0, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

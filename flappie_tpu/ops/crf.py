@@ -304,6 +304,23 @@ def qpath_from_path(trans, path, nbase: int, idx: TransIndex | None = None):
     return jnp.concatenate([nan, q], axis=1)
 
 
+def path_score(trans, path, nblocks, nbase: int, idx: TransIndex | None = None):
+    """Total log-weight of a block path: sum over valid blocks of
+    trans[t, param_idx[path[t], path[t+1]]].
+
+    With globally-normalised transition weights this is the path
+    log-probability, so ``-path_score/nblocks`` is a per-block CRF NLL
+    (the training objective for supervised block paths).
+    """
+    idx = idx if idx is not None else flipflop_index(nbase)
+    pidx = jnp.asarray(np.maximum(idx.param_idx, 0))
+    sel = pidx[path[:, :-1], path[:, 1:]]  # [B, T]
+    q = jnp.take_along_axis(trans, sel[..., None], axis=-1)[..., 0]
+    T = trans.shape[1]
+    valid = jnp.arange(T)[None, :] < nblocks[:, None]
+    return jnp.sum(jnp.where(valid, q, 0.0), axis=1)
+
+
 def crf_viterbi(trans, nblocks, nbase: int, idx: TransIndex | None = None):
     """Full Viterbi decode: (score [B], path [B, T+1], qpath [B, T+1])."""
     score, last_state, backptr = crf_viterbi_forward(trans, nblocks, nbase, idx=idx)

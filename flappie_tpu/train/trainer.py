@@ -1,0 +1,65 @@
+"""CRF training: supervised block-path negative log-likelihood.
+
+The reference has no training (weights are compiled in; training lives
+in ONT's taiyaki).  This module provides the TPU-native training loop
+the framework needs to be self-hosting: the flip-flop CRF NLL of a
+supervised block path,
+
+    loss = -mean_b( path_score_b / nblocks_b )
+
+where ``path_score`` sums globally-normalised transition weights along
+the target path (the logZ subtraction inside the head makes this a
+proper log-likelihood).  Differentiating through the head's masked
+partition scan gives exact CRF gradients.
+
+``make_train_step`` builds a jittable optax step; shard it over a Mesh
+with parallel.mesh (data-parallel batch, optionally tensor-parallel
+gate dims) - XLA inserts the gradient all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.config import ModelConfig
+from ..models.network import transitions
+from ..ops.crf import path_score
+
+
+def nll_loss(params, cfg: ModelConfig, signal, lengths, target_path):
+    """signal [B,T], lengths [B], target_path [B, T//stride + 1] int32."""
+    trans, nblocks = transitions(params, cfg, signal, lengths)
+    score = path_score(trans, target_path, nblocks, cfg.nbase)
+    return -jnp.mean(score / nblocks.astype(trans.dtype))
+
+
+def make_train_step(cfg: ModelConfig, optimizer=None):
+    optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
+
+    @partial(jax.jit, static_argnames=())
+    def train_step(params, opt_state, signal, lengths, target_path):
+        loss, grads = jax.value_and_grad(nll_loss)(
+            params, cfg, signal, lengths, target_path
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, optimizer
+
+
+def synthetic_batch(cfg: ModelConfig, B: int, T: int, seed: int = 0):
+    """A tiny synthetic supervised batch (for tests and dry runs)."""
+    rng = np.random.default_rng(seed)
+    signal = rng.normal(size=(B, T)).astype(np.float32)
+    lengths = np.full(B, T, np.int32)
+    nblk = cfg.nblocks(T)
+    # random flip states: transitions into flip states are always allowed
+    path = rng.integers(0, cfg.nbase, size=(B, nblk + 1)).astype(np.int32)
+    return signal, lengths, path
