@@ -29,34 +29,39 @@ def main() -> int:
     from flappie_tpu.basecall import Basecaller
     from flappie_tpu.io.crp import read_crp
 
-    B = 16
+    B = 64
     T = 65536
-    iters = 8
+    iters = 6
 
     caller = Basecaller("r941_native", seed=0, compute_trace=False, viterbi_only=False)
 
-    # Real signal, tiled and jittered to fill the batch
+    # Real signal, tiled and jittered; several distinct batches so any
+    # execution caching in the device path cannot shortcut the work
     sig = read_crp("/root/reference/src/test/normalised_signal.crp").reshape(-1)
     rng = np.random.default_rng(0)
-    batch = np.zeros((B, T), np.float32)
-    lengths = np.zeros(B, np.int32)
-    for b in range(B):
-        reps = int(np.ceil(T / sig.size))
-        row = np.tile(sig, reps)[:T]
-        row += rng.normal(0, 0.05, size=row.shape).astype(np.float32)
-        batch[b] = row
-        lengths[b] = T - rng.integers(0, 5000)
+    batches = []
+    for k in range(3):
+        batch = np.zeros((B, T), np.float32)
+        lengths = np.zeros(B, np.int32)
+        for b in range(B):
+            reps = int(np.ceil(T / sig.size))
+            row = np.tile(sig, reps)[:T]
+            row += rng.normal(0, 0.05, size=row.shape).astype(np.float32)
+            batch[b] = row
+            lengths[b] = T - rng.integers(0, 5000)
+        batches.append((batch, lengths))
 
     # Warm up (compile)
-    out = caller.call_batch(batch, lengths)
+    out = caller.call_batch(*batches[0])
     del out
 
     t0 = time.perf_counter()
-    for _ in range(iters):
+    total_samples = 0
+    for i in range(iters):
+        batch, lengths = batches[i % len(batches)]
         score, path, qpath, nblocks, _ = caller.call_batch(batch, lengths)
+        total_samples += int(lengths.sum())
     dt = time.perf_counter() - t0
-
-    total_samples = int(lengths.sum()) * iters
     sps = total_samples / dt
 
     # Host-side throughput context (not part of the JSON contract)

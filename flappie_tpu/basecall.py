@@ -45,9 +45,9 @@ def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace"))
-def _device_basecall(params, signal, lengths, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool):
-    trans, nblocks = transitions(params, cfg, signal, lengths, temperature)
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall(params, signal, lengths, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
+    trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
     if viterbi_only:
         mat = trans
     else:
@@ -76,6 +76,7 @@ class Basecaller:
         viterbi_only: bool = False,
         compute_trace: bool = True,
         seed: int = 0,
+        rnn_impl: str = "auto",
     ):
         self.cfg = get_model_config(model) if isinstance(model, str) else model
         if params is None:
@@ -88,6 +89,7 @@ class Basecaller:
         self.temperature = float(temperature)
         self.viterbi_only = bool(viterbi_only)
         self.compute_trace = bool(compute_trace)
+        self.rnn_impl = rnn_impl
 
     # -- device side ------------------------------------------------------
 
@@ -104,6 +106,7 @@ class Basecaller:
             self.temperature,
             self.viterbi_only,
             self.compute_trace,
+            self.rnn_impl,
         )
         return tuple(np.asarray(x) for x in out)
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import rnn as rnn_ops
+from ..ops import rnn_pallas
 from ..ops.activations import ACTIVATIONS
 from ..ops.conv import conv1d_same
 from ..ops.heads import (
@@ -52,16 +53,34 @@ def conv_stack(params, cfg: ModelConfig, x, lengths):
     return x, lengths
 
 
-def rnn_stack(params, cfg: ModelConfig, x, lengths):
+def _rnn_seq(kind: str, impl: str, xa, p):
+    """Dispatch one recurrence: fused Pallas kernel on TPU ("auto"),
+    lax.scan otherwise.  Both implement identical step semantics."""
+    if impl == "auto":
+        import jax
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas" and kind in ("lstm", "grumod"):
+        fn = {
+            "lstm": rnn_pallas.lstm_seq_pallas,
+            "grumod": rnn_pallas.grumod_seq_pallas,
+        }[kind]
+        return fn(xa, p["sW"])
+    if kind == "lstm":
+        return rnn_ops.lstm_seq(xa, p["sW"])
+    if kind == "grumod":
+        return rnn_ops.grumod_seq(xa, p["sW"])
+    raise ValueError(kind)
+
+
+def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):
     for i, r in enumerate(cfg.rnns):
         p = params[f"rnn{i}"]
         xa = rnn_ops.affine(x, p["iW"], p["b"])
         if r.backward:
             xa = reverse_sequence(xa, lengths)
-        if r.kind == "lstm":
-            y = rnn_ops.lstm_seq(xa, p["sW"])
-        elif r.kind == "grumod":
-            y = rnn_ops.grumod_seq(xa, p["sW"])
+        if r.kind in ("lstm", "grumod"):
+            y = _rnn_seq(r.kind, rnn_impl, xa, p)
         elif r.kind == "gru":
             y = rnn_ops.gru_seq(xa, p["sW"], p["sW2"])
         elif r.kind == "gru_relu":
@@ -74,7 +93,7 @@ def rnn_stack(params, cfg: ModelConfig, x, lengths):
     return x
 
 
-def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0):
+def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_impl: str = "auto"):
     """signal: [B, T] or [B, T, 1] normalised signal (zero-padded),
     lengths: [B] int32 valid sample counts.
 
@@ -88,7 +107,7 @@ def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0):
     # the caller left in the padded tail.
     signal = mask_tail(signal, lengths)
     x, nblocks = conv_stack(params, cfg, signal, lengths)
-    x = rnn_stack(params, cfg, x, nblocks)
+    x = rnn_stack(params, cfg, x, nblocks, rnn_impl)
     W, b = params["ff"]["W"], params["ff"]["b"]
     if cfg.head == "flipflop":
         out = globalnorm_flipflop(x, W, b, temperature, nblocks, cfg.nbase)
@@ -101,10 +120,10 @@ def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0):
     return out, nblocks
 
 
-def make_transitions_fn(cfg: ModelConfig, temperature: float = 1.0):
+def make_transitions_fn(cfg: ModelConfig, temperature: float = 1.0, rnn_impl: str = "auto"):
     """A jittable closure over the static config."""
 
     def fn(params, signal, lengths):
-        return transitions(params, cfg, signal, lengths, temperature)
+        return transitions(params, cfg, signal, lengths, temperature, rnn_impl)
 
     return fn

@@ -1,0 +1,130 @@
+"""Fused Pallas recurrent kernels (TPU).
+
+The recurrent loop is the hot path of every model (5 sequential layers;
+the reference spends its life in lstm_step sgemv, src/layers.c:979-1026).
+The lax.scan baseline in rnn.py round-trips the carried state through
+XLA's loop machinery each step; these kernels instead keep
+
+- the recurrent weights sW [H, GH] resident in VMEM for the whole
+  sequence (constant BlockSpec index_map -> fetched once),
+- the carried state h (and c) in VMEM scratch across grid steps,
+
+and stream x-affine blocks [B, GH] through the automatic Pallas
+pipeline (grid over time, double-buffered HBM->VMEM DMA), so each step
+is one MXU matmul [B,H]x[H,GH] plus VPU gate math, with no HBM traffic
+for state or weights.
+
+Semantics are bit-compatible with rnn.lstm_seq / rnn.grumod_seq (same
+gate order and formulas); tests assert equivalence.  Grid iteration on
+TPU is sequential, which is what carries the state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lstm_kernel(x_ref, sw_ref, out_ref, h_ref, c_ref):
+    """K time steps per grid step; state carried in VMEM scratch."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    H = h_ref.shape[-1]
+    K = x_ref.shape[0]
+    sw = sw_ref[:]
+
+    def step(k, carry):
+        h, c = carry
+        xF = x_ref[k] + jnp.dot(
+            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        u = jax.nn.sigmoid(xF[:, :H])
+        f = jax.nn.sigmoid(xF[:, H : 2 * H])
+        g = jnp.tanh(xF[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(xF[:, 3 * H :])
+        c = f * c + u * g
+        h = o * jnp.tanh(c)
+        out_ref[k] = h
+        return h, c
+
+    h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+def _grumod_kernel(x_ref, sw_ref, out_ref, h_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    H = h_ref.shape[-1]
+    K = x_ref.shape[0]
+    sw = sw_ref[:]
+
+    def step(k, h):
+        x = x_ref[k]
+        v = jnp.dot(
+            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
+        r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
+        hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
+        h = z * h + (1 - z) * hbar
+        out_ref[k] = h
+        return h
+
+    h_ref[:] = lax.fori_loop(0, K, step, h_ref[:], unroll=True)
+
+
+TIME_BLOCK = 8  # time steps per grid step (bounds VMEM blocks at large B)
+
+
+def _run_recurrent(kernel, xaffine, sW, gates: int, carries: int, interpret):
+    """xaffine: [B, T, G*H] -> [B, T, H] via a time-grid Pallas call."""
+    B, T, GH = xaffine.shape
+    H = GH // gates
+    if interpret is None:
+        interpret = _use_interpret()
+    K = TIME_BLOCK if T % TIME_BLOCK == 0 else 1
+    x_tm = jnp.swapaxes(xaffine, 0, 1)  # [T, B, GH]
+
+    scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(T // K,),
+        in_specs=[
+            pl.BlockSpec((K, B, GH), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x_tm, sW)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def lstm_seq_pallas(xaffine, sW, interpret=None):
+    """Drop-in replacement for rnn.lstm_seq."""
+    return _run_recurrent(_lstm_kernel, xaffine, sW, gates=4, carries=2, interpret=interpret)
+
+
+def grumod_seq_pallas(xaffine, sW, interpret=None):
+    """Drop-in replacement for rnn.grumod_seq."""
+    return _run_recurrent(_grumod_kernel, xaffine, sW, gates=3, carries=1, interpret=interpret)

@@ -246,3 +246,27 @@ def test_transitions_input_tail_masked():
     np.testing.assert_allclose(
         np.asarray(a)[0, :n], np.asarray(b)[0, :n], rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("kind", ["lstm", "grumod"])
+def test_pallas_kernels_match_scan(kind):
+    """Pallas recurrent kernels (interpret mode on CPU) == lax.scan
+    baseline, including the K-step time blocking path."""
+    from flappie_tpu.ops import rnn_pallas
+
+    B, T, H = 3, 32, 16  # T % TIME_BLOCK == 0 exercises the K-step path
+    gates = 4 if kind == "lstm" else 3
+    xa = rnd(B, T, gates * H)
+    sW = rnd(H, gates * H, scale=0.3)
+    base = {"lstm": rnn_ops.lstm_seq, "grumod": rnn_ops.grumod_seq}[kind]
+    fused = {
+        "lstm": rnn_pallas.lstm_seq_pallas,
+        "grumod": rnn_pallas.grumod_seq_pallas,
+    }[kind]
+    a = base(jnp.asarray(xa), jnp.asarray(sW))
+    b = fused(jnp.asarray(xa), jnp.asarray(sW), interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    # odd T exercises the K=1 fallback
+    a = base(jnp.asarray(xa[:, :29]), jnp.asarray(sW))
+    b = fused(jnp.asarray(xa[:, :29]), jnp.asarray(sW), interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
