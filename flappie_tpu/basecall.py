@@ -128,16 +128,20 @@ class Basecaller:
         Returns one BasecallResult per input (None where the read failed),
         in input order.
         """
-        prepped = []  # (orig_idx, rt)
+        # Host preprocessing: the native C++ thread pool when available
+        # (bit-identical to the numpy path), else numpy per read.
+        from . import native
+
+        processed = native.preprocess_batch(
+            reads,
+            trim_start=trim_start,
+            trim_end=trim_end,
+            varseg_chunk=varseg_chunk,
+            varseg_thresh=varseg_thresh,
+            delta=delta,
+        )
+        prepped = [(i, rt) for i, rt in enumerate(processed) if rt is not None]
         results: List[Optional[BasecallResult]] = [None] * len(reads)
-        for i, rt in enumerate(reads):
-            if rt.raw is None:
-                continue
-            rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
-            if not rt.valid:
-                continue
-            normalise_signal(rt, delta)
-            prepped.append((i, rt))
 
         # Group by bucket to keep shapes static; batch within bucket.
         by_bucket: dict = {}

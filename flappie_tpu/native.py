@@ -1,0 +1,143 @@
+"""ctypes bindings for the native host runtime (native/libflappie_host.so).
+
+The C++ library implements the hot host-side path - per-read trimming
+and normalisation on a thread pool - with bit-identical float semantics
+to flappie_tpu.signal.preprocess (both match the reference C).  If the
+shared library is missing it is built on demand with make; failing
+that, callers fall back to the numpy implementation transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .signal.preprocess import RawTable
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libflappie_host.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        _build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ft_medmad_normalise.argtypes = [f32p, ctypes.c_int64]
+    lib.ft_difference_scale.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
+    lib.ft_trim_and_segment.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_float, i64p, i64p,
+    ]
+    lib.ft_preprocess_batch.argtypes = [
+        f32p, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, i64p, i64p, ctypes.c_int32,
+    ]
+    lib.ft_scale_to_pA.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    lib.ft_version.restype = ctypes.c_int32
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def preprocess_batch(
+    reads: Sequence[RawTable],
+    trim_start: int = 200,
+    trim_end: int = 10,
+    varseg_chunk: int = 100,
+    varseg_thresh: float = 0.0,
+    delta: float = 0.0,
+    nthreads: int = 0,
+) -> List[Optional[RawTable]]:
+    """Trim + normalise a batch of reads on the native thread pool.
+
+    Returns new RawTables (signal buffers normalised in place within the
+    trimmed window), or None per read where trimming consumed the read.
+    Falls back to the numpy path if the library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        from .signal.preprocess import normalise_signal, trim_and_segment
+
+        out: List[Optional[RawTable]] = []
+        for rt in reads:
+            if rt.raw is None:
+                out.append(None)
+                continue
+            rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
+            out.append(normalise_signal(rt, delta) if rt.valid else None)
+        return out
+
+    valid_idx = [i for i, rt in enumerate(reads) if rt.raw is not None]
+    offsets = np.zeros(len(valid_idx) + 1, dtype=np.int64)
+    bufs = []
+    for j, i in enumerate(valid_idx):
+        raw = np.ascontiguousarray(reads[i].raw, dtype=np.float32)
+        bufs.append(raw)
+        offsets[j + 1] = offsets[j] + raw.size
+    signals = np.concatenate(bufs) if bufs else np.zeros(0, np.float32)
+    starts = np.zeros(len(valid_idx), dtype=np.int64)
+    ends = np.zeros(len(valid_idx), dtype=np.int64)
+
+    lib.ft_preprocess_batch(
+        _f32p(signals), _i64p(offsets), len(valid_idx),
+        trim_start, trim_end, varseg_chunk, ctypes.c_float(varseg_thresh),
+        ctypes.c_float(delta), _i64p(starts), _i64p(ends), nthreads,
+    )
+
+    out: List[Optional[RawTable]] = [None] * len(reads)
+    for j, i in enumerate(valid_idx):
+        if starts[j] >= ends[j]:
+            continue
+        seg = signals[offsets[j] : offsets[j + 1]]
+        out[i] = RawTable(
+            uuid=reads[i].uuid,
+            n=int(offsets[j + 1] - offsets[j]),
+            start=int(starts[j]),
+            end=int(ends[j]),
+            raw=seg,
+        )
+    return out

@@ -1,0 +1,65 @@
+"""Native C++ host runtime vs the numpy reference implementation."""
+
+import numpy as np
+import pytest
+
+from flappie_tpu import native
+from flappie_tpu.io.crp import read_crp
+from flappie_tpu.signal.preprocess import (
+    RawTable,
+    medmad_normalise,
+    normalise_signal,
+    trim_and_segment,
+)
+
+FIX = "/root/reference/src/test"
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+@pytest.fixture(scope="module")
+def raw_pA():
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    unit = np.float32(1373.41) / np.float32(8192.0)
+    return (raw + np.float32(16.0)) * unit
+
+
+def test_native_matches_numpy_bitexact(raw_pA):
+    rt = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
+    want = trim_and_segment(rt, 200, 10, 100, 0.0)
+    normalise_signal(want)
+
+    rt2 = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
+    got = native.preprocess_batch([rt2])[0]
+    assert got is not None
+    assert (got.start, got.end) == (want.start, want.end)
+    np.testing.assert_array_equal(got.active(), want.active())
+
+
+def test_native_matches_golden(raw_pA):
+    golden = read_crp(f"{FIX}/normalised_signal.crp").reshape(-1)
+    rt = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
+    got = native.preprocess_batch([rt])[0]
+    assert np.max(np.abs(got.active() - golden)) <= 1e-5
+
+
+def test_native_batch_with_failures(raw_pA):
+    reads = [
+        RawTable("a", raw_pA.size, 0, raw_pA.size, raw_pA.copy()),
+        RawTable("none", 0, 0, 0, None),
+        RawTable("tiny", 50, 0, 50, np.ones(50, np.float32)),
+        RawTable("b", 15000, 0, 15000, raw_pA[:15000].copy()),
+    ]
+    out = native.preprocess_batch(reads, nthreads=4)
+    assert out[0] is not None and out[3] is not None
+    assert out[1] is None and out[2] is None
+    assert out[0].uuid == "a" and out[3].uuid == "b"
+
+
+def test_native_delta_mode(raw_pA):
+    rt = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
+    want = trim_and_segment(rt, 200, 10, 100, 0.0)
+    normalise_signal(want, delta=1.5)
+    rt2 = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
+    got = native.preprocess_batch([rt2], delta=1.5)[0]
+    np.testing.assert_array_equal(got.active(), want.active())
