@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model weights (npz checkpoint); synthetic if omitted")
     p.add_argument("--batch", type=int, default=32, metavar="B",
                    help="Maximum device batch size")
+    p.add_argument("--multi", action="store_true", default=False,
+                   help="Basecall every read in multi-read fast5 files "
+                        "(the reference only reads the first)")
     return p
 
 
@@ -159,11 +162,25 @@ def main(argv=None) -> int:
 
     out = open(args.output, "w") if args.output else sys.stdout
 
-    reads, names = [], []
+    reads, names, fnames = [], [], []
     for fn in files:
-        rt = read_raw(fn, scale_to_pA=True)
-        reads.append(rt)
-        names.append(os.path.basename(fn))
+        if args.multi:
+            from ..signal.fast5 import iter_reads
+
+            try:
+                rts = list(iter_reads(fn, scale_to_pA=True))
+            except Exception:
+                rts = []
+            if not rts:
+                rts = [read_raw(fn, scale_to_pA=True)]
+        else:
+            rts = [read_raw(fn, scale_to_pA=True)]
+        for rt in rts:
+            reads.append(rt)
+            names.append(os.path.basename(fn))
+            fnames.append(fn)
+    if args.limit > 0:
+        reads, names, fnames = reads[: args.limit], names[: args.limit], fnames[: args.limit]
 
     trim_start, trim_end = args.trim
     varseg_chunk, varseg_thresh = args.segmentation
@@ -179,7 +196,7 @@ def main(argv=None) -> int:
     )
 
     with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
-        for fn, name, res in zip(files, names, results):
+        for fn, name, res in zip(fnames, names, results):
             if res is None:
                 print(f"No basecall returned for {fn}", file=sys.stderr)
                 continue

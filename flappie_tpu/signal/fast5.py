@@ -42,12 +42,25 @@ def _scale_signal(sig: np.ndarray, channel_attrs, scale_to_pA: bool) -> np.ndarr
     return raw
 
 
+def _chaos() -> bool:
+    """Fault injection (reference CHAOSMONKEY, src/flappie_stdlib.h:18-35):
+    with FLAPPIE_TPU_CHAOS=p set, reads randomly fail with probability p,
+    exercising the per-read fault-isolation path."""
+    import os
+    import random
+
+    p = os.environ.get("FLAPPIE_TPU_CHAOS")
+    return p is not None and random.random() < float(p)
+
+
 def read_raw(filename: str, scale_to_pA: bool = True) -> RawTable:
     """Read the first read of a single-read fast5 file.
 
     Returns an invalid RawTable (raw=None) on any failure, matching the
     reference's NULL-propagation fault isolation.
     """
+    if _chaos():
+        return RawTable(None, 0, 0, 0, None)
     try:
         with h5py.File(filename, "r") as f:
             reads = f.get("/Raw/Reads")

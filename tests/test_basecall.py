@@ -200,3 +200,55 @@ def test_cli_model_help(capsys):
     out = capsys.readouterr().out
     assert "r941_native" in out and "(default)" in out
     assert "rle_r941_native" not in out  # runnie-only model not listed
+
+
+def test_cli_multi_read_fast5(tmp_path):
+    """--multi basecalls every read of a multi-read fast5 (extension
+    beyond the reference, which only handles the first read)."""
+    import h5py
+
+    from flappie_tpu.cli.flappie import main
+
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    f5 = tmp_path / "multi.fast5"
+    with h5py.File(f5, "w") as f:
+        f.attrs["file_version"] = np.bytes_("2.0")
+        for i, (uuid, n) in enumerate([("m-read-1", 12000), ("m-read-2", 9000)]):
+            grp = f.create_group(f"read_{uuid}")
+            rg = grp.create_group("Raw")
+            rg.attrs["read_id"] = np.bytes_(uuid)
+            rg.create_dataset("Signal", data=np.round(raw[:n]).astype(np.int16))
+            ch = grp.create_group("channel_id")
+            ch.attrs["digitisation"] = np.float64(8192.0)
+            ch.attrs["offset"] = np.float64(16.0)
+            ch.attrs["range"] = np.float64(1373.41)
+            ch.attrs["sampling_rate"] = np.float64(4000.0)
+
+    out = tmp_path / "o.fastq"
+    rc = main(["--multi", str(f5), "-o", str(out)])
+    assert rc == 0
+    recs = [l for l in out.read_text().splitlines() if l.startswith("@")]
+    assert len(recs) == 2
+    assert recs[0].startswith("@m-read-1") and recs[1].startswith("@m-read-2")
+    # without --multi: first read only (reference behaviour would find
+    # no /Raw/Reads and fail; our reader handles the multi layout)
+    rc = main([str(f5), "-o", str(out)])
+    recs = [l for l in out.read_text().splitlines() if l.startswith("@")]
+    assert len(recs) <= 1
+
+
+def test_chaos_fault_isolation(tmp_path, monkeypatch, capsys):
+    """FLAPPIE_TPU_CHAOS=1.0 -> every read fails, CLI continues and
+    reports per-read errors (CHAOSMONKEY-equivalent)."""
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+    from flappie_tpu.cli.flappie import main
+
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    f5 = tmp_path / "c.fast5"
+    write_single_read_fast5(str(f5), raw[:8000], "chaos-read")
+    monkeypatch.setenv("FLAPPIE_TPU_CHAOS", "1.0")
+    out = tmp_path / "o.fastq"
+    rc = main([str(f5), "-o", str(out)])
+    assert rc == 0
+    assert out.read_text() == ""
+    assert "No basecall returned" in capsys.readouterr().err
