@@ -45,19 +45,33 @@ def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
-def _device_basecall(params, signal, lengths, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
-    trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
+@partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
+def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, compute_trace: bool):
+    """CRF decode of transition weights (fb posterior unless viterbi)."""
     if viterbi_only:
         mat = trans
     else:
-        mat = crf_transpost(trans, nblocks, cfg.nbase, return_log=True)
-    score, path, qpath = crf_viterbi(mat, nblocks, cfg.nbase)
+        mat = crf_transpost(trans, nblocks, nbase, return_log=True)
+    score, path, qpath = crf_viterbi(mat, nblocks, nbase)
     if compute_trace:
-        trace = trace_from_posterior(jnp.exp(mat), cfg.nbase)
+        trace = trace_from_posterior(jnp.exp(mat), nbase)
     else:
-        trace = jnp.zeros((signal.shape[0], 1, cfg.nstate), jnp.uint8)
+        trace = jnp.zeros((trans.shape[0], 1, nstate), jnp.uint8)
+    return score, path, qpath, trace
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall(params, signal, lengths, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
+    trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
+    score, path, qpath, trace = _device_decode(
+        trans, nblocks, cfg.nbase, cfg.nstate, viterbi_only, compute_trace
+    )
     return score, path, qpath, nblocks, trace
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "rnn_impl"))
+def _device_basecall_fwd(params, signal, lengths, cfg: ModelConfig, temperature: float, rnn_impl: str):
+    return transitions(params, cfg, signal, lengths, temperature, rnn_impl)
 
 
 class Basecaller:
@@ -168,6 +182,68 @@ class Basecaller:
 
     def basecall_read(self, rt: RawTable, **kw) -> Optional[BasecallResult]:
         return self.basecall_raw_tables([rt], **kw)[0]
+
+    # -- chunked long-read path --------------------------------------------
+
+    def basecall_read_chunked(
+        self,
+        rt: RawTable,
+        chunk: int = 16000,
+        overlap: int = 2000,
+        delta: float = 0.0,
+        reverse: bool = False,
+        **trim_kw,
+    ) -> Optional[BasecallResult]:
+        """Chunk + overlap-stitch decoding for long reads.
+
+        The read's signal is split into overlapping chunks batched
+        through the network (read length -> batch parallelism); per-
+        chunk transition weights are stitched at overlap midpoints and
+        decoded globally (see parallel/chunking.py).
+        """
+        from .parallel.chunking import extract_chunks, plan_chunks, stitch_trans
+        from .models.network import transitions as _transitions
+
+        if rt.raw is None:
+            return None
+        rt = trim_and_segment(rt, **trim_kw) if trim_kw else trim_and_segment(rt)
+        if not rt.valid:
+            return None
+        normalise_signal(rt, delta)
+        seg = rt.active()
+
+        plan = plan_chunks(seg.size, self.cfg.total_stride, chunk, overlap)
+        chunks, lengths = extract_chunks(seg, plan)
+        trans, nblocks = _device_basecall_fwd(
+            self.params,
+            jnp.asarray(chunks),
+            jnp.asarray(lengths),
+            self.cfg,
+            self.temperature,
+            self.rnn_impl,
+        )
+        stitched = stitch_trans(np.asarray(trans), np.asarray(nblocks), plan)
+        T = stitched.shape[0]
+        Tpad = -(-T // 256) * 256
+        buf = np.zeros((1, Tpad, stitched.shape[1]), F32)
+        buf[0, :T] = stitched
+        score, path, qpath, trace = _device_decode(
+            jnp.asarray(buf),
+            jnp.asarray([T], dtype=jnp.int32),
+            self.cfg.nbase,
+            self.cfg.nstate,
+            self.viterbi_only,
+            self.compute_trace,
+        )
+        return self._assemble(
+            rt,
+            float(np.asarray(score)[0]),
+            np.asarray(path)[0],
+            np.asarray(qpath)[0],
+            T,
+            np.asarray(trace)[0],
+            reverse,
+        )
 
     def _assemble(self, rt, score, path, qpath, nblock, trace, reverse) -> BasecallResult:
         basecall, quality = path_to_basecall(path, qpath, nblock, self.cfg.nbase)

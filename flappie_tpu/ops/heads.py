@@ -25,13 +25,19 @@ from .masking import mask_tail
 from .rnn import affine
 
 
+def _safe_n(nblocks, dtype):
+    """Per-read block count as a divisor; zero-length (padded) rows use 1
+    to keep their lane NaN-free - their output is masked to zero anyway."""
+    return jnp.maximum(nblocks, 1).astype(dtype)
+
+
 def globalnorm_flipflop(x, W, b, temperature, nblocks, nbase: int):
     """x: [B, T, H] -> trans [B, T, nparam], logZ-normalised per read.
 
     Padded blocks are zeroed on output.
     """
     C = jnp.tanh(affine(x, W, b)) * (5.0 / temperature)
-    logZ = crf_partition(C, nblocks, nbase) / nblocks.astype(C.dtype)
+    logZ = crf_partition(C, nblocks, nbase) / _safe_n(nblocks, C.dtype)
     C = C - logZ[:, None, None]
     return mask_tail(C, nblocks)
 
@@ -46,8 +52,8 @@ def globalnorm_runlengthV2(x, W, b, temperature, nblocks, nbase: int):
     shape = 1.0 + jax.nn.softplus(raw[..., :nbase])
     scale = 1e-8 + jax.nn.softplus(raw[..., nbase:nrun])
     trans = jnp.tanh(raw[..., nrun:]) * (5.0 / temperature)
-    logZ = crf_partition(trans, nblocks, 0, idx=rle_index(nbase)) / nblocks.astype(
-        raw.dtype
+    logZ = crf_partition(trans, nblocks, 0, idx=rle_index(nbase)) / _safe_n(
+        nblocks, raw.dtype
     )
     trans = trans - logZ[:, None, None]
     out = jnp.concatenate([shape, scale, trans], axis=-1)
@@ -66,7 +72,7 @@ def globalnorm_runlength(x, W, b, temperature, nblocks, nbase: int):
     scale = 1e-1 + jax.nn.softplus(raw[..., nbase : 2 * nbase])
     move = jnp.tanh(raw[..., 2 * nbase : 3 * nbase]) * (5.0 / temperature)
     stay = jnp.tanh(raw[..., 3 * nbase :]) * (5.0 / temperature)
-    logZ = _runlength_v1_partition(move, stay, nblocks) / nblocks.astype(raw.dtype)
+    logZ = _runlength_v1_partition(move, stay, nblocks) / _safe_n(nblocks, raw.dtype)
     out = jnp.concatenate([shape, scale, move - logZ[:, None, None], stay - logZ[:, None, None]], axis=-1)
     return mask_tail(out, nblocks)
 
