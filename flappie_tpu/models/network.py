@@ -44,7 +44,7 @@ def conv_stack(params, cfg: ModelConfig, x, lengths):
     for i, c in enumerate(cfg.convs):
         W = params[f"conv{i}"]["W"]
         b = params[f"conv{i}"]["b"]
-        x = conv1d_same(x, W, b, c.stride)
+        x = conv1d_same(x, W, b, c.stride, lengths)
         x = ACTIVATIONS[c.activation](x)
         lengths = ceil_div(lengths, c.stride)
         # Zero the padded tail: the reference zero-pads past the read

@@ -76,12 +76,21 @@ def _interleave_conv(W: np.ndarray) -> tuple[np.ndarray, int]:
     return rows, nr
 
 
-def emit_model_header(cfg: ModelConfig, params: Params, modelid: str = "model") -> str:
-    """Emit a reference-compatible weight header for this model."""
+def emit_model_header(
+    cfg: ModelConfig, params: Params, modelid: str = "model", stem: str | None = None
+) -> str:
+    """Emit a reference-compatible weight header for this model.
+
+    ``stem`` overrides the symbol stem; the reference uses
+    ``rnnrf_flipflop5_<id>`` (3-conv flip-flop), ``rnnrf_flipflop_<id>``
+    (1-conv GRU-mod) and ``rnnrf_rle5_<id>`` (run-length) stems
+    (src/networks.c:218-399).
+    """
     from ..models.params import flatten
 
     flat = flatten(params)
-    stem = f"rnnrf_flipflop5_{modelid}" if len(cfg.convs) > 1 else f"rnnrf_flipflop_{modelid}"
+    if stem is None:
+        stem = f"rnnrf_flipflop5_{modelid}" if len(cfg.convs) > 1 else f"rnnrf_flipflop_{modelid}"
     parts: List[str] = [
         "#pragma once",
         f"#ifndef FLIPFLOP_{modelid.upper()}_MODEL_H",

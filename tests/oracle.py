@@ -37,12 +37,14 @@ def logsumexp2(x, y):
 # ---------------------------------------------------------------------------
 
 
-def conv_same(x, W, b, stride):
+def conv_same_math(x, W, b, stride):
     """x: [T, Cin]; W: [winlen, Cin, Cout]; naive same-pad strided conv.
 
     Mirrors simple_convolution/simple_stride in the reference tests:
     output t reads window [t*stride - padL, t*stride + padR], zeros
-    outside.
+    outside.  This is the *mathematical* same-conv; the reference's
+    production conv deviates from it at the right edge when
+    winlen % stride != 0 — see conv_tapmap/conv_same below.
     """
     T, Cin = x.shape
     winlen, _, Cout = W.shape
@@ -55,6 +57,72 @@ def conv_same(x, W, b, stride):
             pos = base + w
             if 0 <= pos < T:
                 out[t] += x[pos] @ W[w]
+    return out
+
+
+def conv_tapmap(n, winlen, stride):
+    """Which filter taps the reference conv actually applies per output
+    column, transcribed from src/layers.c:189-276.
+
+    Returns (ncol, contribs) where contribs[c] is a list of
+    (window_start, tap_lo, tap_hi): taps j in [tap_lo, tap_hi) applied
+    to x[window_start + j] (positions outside [0, n) contribute zero by
+    construction).  Columns with no entry receive only the bias.
+
+    The quirk this encodes: the body sgemm loop only emits windows that
+    fit in a full stride*ceil(winlen/stride) block, so when
+    winlen % stride != 0 the last window(s) that mathematically fit are
+    left to the right-edge loop, which starts them at n - winlen with
+    the leading taps dropped — and the final column(s) may get no
+    contribution at all.  Exact for stride 1 / winlen % stride == 0.
+    """
+    s, w = stride, winlen
+    padL = (w - 1) // 2
+    padR = w // 2
+    ncol = -(-n // s)
+    contribs = {}
+    # left edge loop (layers.c:220-227)
+    for wo in range(0, padL, s):
+        contribs.setdefault(wo // s, []).append((wo - padL, padL - wo, w))
+    ncolsL = -(-padL // s)
+    shift = ncolsL * s - padL
+    nstepC = -(-w // s)
+    nstepX = s * nstepC
+    # body sgemm loop (layers.c:239-254): complete nstepX blocks only
+    for wo in range(0, nstepX, s):
+        for k in range((n - shift - wo) // nstepX):
+            c = ncolsL + wo // s + nstepC * k
+            contribs.setdefault(c, []).append((shift + wo + nstepX * k, 0, w))
+    # right edge loop (layers.c:256-271): sgemv over the *leading*
+    # W->nr - ldFeature*(wo+1) rows of W (the pointer is not offset),
+    # i.e. taps [0, w-1-wo) applied to x starting at n - w + 1 + wo.
+    # For stride 1 this equals the mathematical right-clipped window;
+    # for winlen % stride != 0 it silently anchors the window at the
+    # wrong position with the wrong taps.
+    maxcol = (n - shift) // nstepX
+    rem = (n - shift) % nstepX
+    colR0 = ncolsL + nstepC * (maxcol - 1) + rem // s + 1
+    startR = s - (padL + n - w) % s - 1
+    for wo in range(startR, padR, s):
+        contribs.setdefault(colR0 + wo // s, []).append(
+            (n - w + 1 + wo, 0, w - 1 - wo)
+        )
+    return ncol, contribs
+
+
+def conv_same(x, W, b, stride):
+    """The reference convolution (layers.c:189-276) including its
+    right-edge tap-dropping behaviour — the parity oracle."""
+    T, Cin = x.shape
+    winlen, _, Cout = W.shape
+    ncol, contribs = conv_tapmap(T, winlen, stride)
+    out = np.tile(np.asarray(b, np.float64), (ncol, 1))
+    for c, entries in contribs.items():
+        for start, lo, hi in entries:
+            for j in range(lo, hi):
+                pos = start + j
+                if 0 <= pos < T:
+                    out[c] += x[pos] @ W[j]
     return out
 
 
