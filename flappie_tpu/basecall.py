@@ -47,7 +47,14 @@ def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
 
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
 def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, compute_trace: bool):
-    """CRF decode of transition weights (fb posterior unless viterbi)."""
+    """CRF decode of transition weights (fb posterior unless viterbi).
+
+    Returns (score f32 [B], path int8 [B, T+1], qchar uint8 [B, T+1],
+    trace uint8): everything the host needs, one byte per block, so the
+    device->host transfer stays small.
+    """
+    from .ops.crf import phred_from_qpath
+
     if viterbi_only:
         mat = trans
     else:
@@ -57,7 +64,7 @@ def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, 
         trace = trace_from_posterior(jnp.exp(mat), nbase)
     else:
         trace = jnp.zeros((trans.shape[0], 1, nstate), jnp.uint8)
-    return score, path, qpath, trace
+    return score, path.astype(jnp.int8), phred_from_qpath(qpath), trace
 
 
 @partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))

@@ -9,7 +9,6 @@ Emits the ``.run`` text format: a ``# uuid`` line per read followed by
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from functools import partial
 
@@ -107,8 +106,11 @@ def main(argv=None) -> int:
         runs = runs_from_path(
             np.asarray(mat)[0], np.asarray(path)[0], nblk, cfg.nbase
         )
-        name = rt.uuid if args.uuid else os.path.basename(fn)
-        write_run_record(out, f"{args.prefix}{name}", runs)
+        # Reference quirk: runnie parses --prefix/--uuid/--no-uuid but
+        # the .run header is always "# <uuid>" with no prefix
+        # (src/runnie.c:277 uses rt.uuid directly; args.prefix and
+        # args.uuid are never read).  Replicated for output parity.
+        write_run_record(out, rt.uuid, runs)
         out.flush()
 
     if out is not sys.stdout:

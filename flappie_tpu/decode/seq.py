@@ -50,13 +50,21 @@ def path_to_basecall(
 ) -> tuple[str, str]:
     """Viterbi path + per-block weights -> (sequence, quality string).
 
-    Mirrors src/flappie.c:283-297.
+    Mirrors src/flappie.c:283-297.  ``qpath`` may be the per-block
+    transition log-weights (float) or precomputed Phred+33 bytes
+    (uint8, from ops.crf.phred_from_qpath on device - bit-compatible
+    with the float path here, which keeps the transfer small).
     """
     idx = change_positions(path, nblock)
     if idx.size == 0:
         return "", ""
-    states = np.asarray(path)[idx] % nbase
+    states = np.asarray(path)[idx].astype(np.int64) % nbase
     basecall = "".join(BASE_LOOKUP[s] for s in states)
-    p = np.exp(np.asarray(qpath, dtype=F32)[idx], dtype=F32)
-    quality = phred_chars(p).tobytes().decode("ascii")
+    qpath = np.asarray(qpath)
+    if qpath.dtype == np.uint8:
+        qchars = qpath[idx]
+    else:
+        p = np.exp(qpath.astype(F32)[idx], dtype=F32)
+        qchars = phred_chars(p)
+    quality = qchars.tobytes().decode("ascii")
     return basecall, quality

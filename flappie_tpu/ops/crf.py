@@ -114,6 +114,40 @@ def _lse(x, axis):
     return jax.scipy.special.logsumexp(x, axis=axis)
 
 
+CRF_TIME_BLOCK = 16
+
+
+def _scan_blocked(step, init, xs, K: int = CRF_TIME_BLOCK):
+    """lax.scan with K steps unrolled per iteration.
+
+    The CRF state is tiny ([B, nstate]), so a plain per-block scan is
+    dominated by TPU loop overhead (~10us/step); unrolling K steps per
+    scan iteration cuts that K-fold.  The per-step maths and order are
+    unchanged, so results are bit-identical to the plain scan.  Time is
+    padded to a multiple of K; every step fn here freezes its carry
+    when the step's `valid` input is False, and padded validity is
+    False (jnp.pad zero-fills), so padding is inert.
+    """
+    T = jax.tree.leaves(xs)[0].shape[0]
+    Tp = -(-T // K) * K
+    if Tp != T:
+        xs = jax.tree.map(
+            lambda a: jnp.pad(a, [(0, Tp - T)] + [(0, 0)] * (a.ndim - 1)), xs
+        )
+    xs = jax.tree.map(lambda a: a.reshape((Tp // K, K) + a.shape[1:]), xs)
+
+    def blk(carry, xk):
+        outs = []
+        for k in range(K):
+            carry, y = step(carry, jax.tree.map(lambda a: a[k], xk))
+            outs.append(y)
+        return carry, jnp.stack(outs)
+
+    carry, ys = lax.scan(blk, init, xs)
+    ys = ys.reshape((Tp,) + ys.shape[2:])[:T]
+    return carry, ys
+
+
 # ---------------------------------------------------------------------------
 # Forward / partition
 # ---------------------------------------------------------------------------
@@ -144,7 +178,7 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return alpha, alpha
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]  # [B, T]
-    _, alphas = lax.scan(
+    _, alphas = _scan_blocked(
         step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
     )
     alphas = jnp.concatenate([a0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1)
@@ -178,7 +212,7 @@ def crf_backward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
     # scan over reversed time
-    _, betas_rev = lax.scan(
+    _, betas_rev = _scan_blocked(
         step,
         b_end,
         (
@@ -252,7 +286,7 @@ def crf_viterbi_forward(trans, nblocks, nbase: int, idx: TransIndex | None = Non
         return alpha_next, bp
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
-    alpha, bps = lax.scan(
+    alpha, bps = _scan_blocked(
         step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
     )
     backptr = jnp.swapaxes(bps, 0, 1)  # [B, T, nstate]
@@ -279,7 +313,7 @@ def viterbi_traceback(backptr, last_state, nblocks):
         return state, state
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
-    _, states_rev = lax.scan(
+    _, states_rev = _scan_blocked(
         step,
         last_state,
         (jnp.swapaxes(backptr, 0, 1)[::-1], jnp.swapaxes(tvalid, 0, 1)[::-1]),
@@ -327,6 +361,27 @@ def crf_viterbi(trans, nblocks, nbase: int, idx: TransIndex | None = None):
     path = viterbi_traceback(backptr, last_state, nblocks)
     qpath = qpath_from_path(trans, path, nbase, idx=idx)
     return score, path, qpath
+
+
+M_LOG10E = 0.43429448190325182765  # glibc math.h
+
+
+def phred_from_qpath(qpath):
+    """Per-block Phred+33 quality bytes from transition log-weights.
+
+    Device version of qscoref/phredf (src/util.h:286-304): p = exp(q)
+    clipped at 0.99999, Q = -10*log10(1-p), chr(round(33+Q)) capped at
+    126.  Bit-compatible with decode.seq.phred_chars (verified over a
+    dense sweep); computing this on device shrinks the device->host
+    transfer to one byte per block.  qpath[0] is NaN (reference quirk);
+    its byte is never consumed (change_positions indices start at 1).
+    """
+    p = jnp.exp(qpath.astype(jnp.float32))
+    p = jnp.minimum(p, jnp.float32(0.99999))
+    q = jnp.float32(-10.0 * M_LOG10E) * jnp.log1p(-p)
+    ph = jnp.floor(jnp.float32(33.0) + q + jnp.float32(0.5))
+    ph = jnp.where(jnp.isnan(ph), 33.0, ph)
+    return jnp.minimum(ph, 126.0).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
