@@ -114,12 +114,11 @@ class Basecaller:
 
     # -- device side ------------------------------------------------------
 
-    def call_batch(self, signals: np.ndarray, lengths: np.ndarray):
-        """signals: [B, T] float32 (zero-padded), lengths: [B].
-
-        Returns host numpy (score, path, qpath, nblocks, trace).
-        """
-        out = _device_basecall(
+    def call_batch_device(self, signals: np.ndarray, lengths: np.ndarray):
+        """Dispatch one batch; returns device arrays without blocking
+        (JAX async dispatch), so callers can pipeline host work and
+        device->host transfers against the next batch's compute."""
+        return _device_basecall(
             self.params,
             jnp.asarray(signals),
             jnp.asarray(np.asarray(lengths, np.int32)),
@@ -129,6 +128,13 @@ class Basecaller:
             self.compute_trace,
             self.rnn_impl,
         )
+
+    def call_batch(self, signals: np.ndarray, lengths: np.ndarray):
+        """signals: [B, T] float32 (zero-padded), lengths: [B].
+
+        Returns host numpy (score, path, qpath, nblocks, trace).
+        """
+        out = self.call_batch_device(signals, lengths)
         return tuple(np.asarray(x) for x in out)
 
     # -- full pipeline ----------------------------------------------------

@@ -108,7 +108,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi", action="store_true", default=False,
                    help="Basecall every read in multi-read fast5 files "
                         "(the reference only reads the first)")
+    p.add_argument("--jax-profile", default=None, metavar="dir",
+                   help="Capture a JAX/XLA device profile of the basecalling "
+                        "loop into this directory (view with TensorBoard or "
+                        "xprof; the reference's perf story is ad-hoc gprof)")
     return p
+
+
+def jax_profiler_trace(logdir: str):
+    """jax.profiler.trace context for --jax-profile."""
+    import jax
+
+    return jax.profiler.trace(logdir, create_perfetto_link=False)
 
 
 def expand_files(args_files):
@@ -184,16 +195,25 @@ def main(argv=None) -> int:
 
     trim_start, trim_end = args.trim
     varseg_chunk, varseg_thresh = args.segmentation
-    results = caller.basecall_raw_tables(
-        reads,
-        trim_start=trim_start,
-        trim_end=trim_end,
-        varseg_chunk=varseg_chunk,
-        varseg_thresh=varseg_thresh,
-        delta=args.delta,
-        reverse=args.reverse,
-        max_batch=args.batch,
+
+    import contextlib
+
+    profile_ctx = (
+        jax_profiler_trace(args.jax_profile)
+        if args.jax_profile
+        else contextlib.nullcontext()
     )
+    with profile_ctx:
+        results = caller.basecall_raw_tables(
+            reads,
+            trim_start=trim_start,
+            trim_end=trim_end,
+            varseg_chunk=varseg_chunk,
+            varseg_thresh=varseg_thresh,
+            delta=args.delta,
+            reverse=args.reverse,
+            max_batch=args.batch,
+        )
 
     with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
         for fn, name, res in zip(fnames, names, results):

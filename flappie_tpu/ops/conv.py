@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .precision import ff_precision
+
 
 def _conv_math(x, W, b, stride: int):
     winlen = W.shape[0]
@@ -42,7 +44,7 @@ def _conv_math(x, W, b, stride: int):
         window_strides=(stride,),
         padding=[(padL, padR)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=lax.Precision.HIGHEST,
+        precision=ff_precision(),
         preferred_element_type=jnp.float32,
     )
     return out + b

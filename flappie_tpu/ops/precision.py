@@ -1,0 +1,46 @@
+"""Matmul precision policy for the feed-forward compute path.
+
+On TPU, float32 matmuls are emulated on the bf16 MXU: Precision.HIGHEST
+uses 6 passes (full f32), Precision.HIGH uses 3 (~21-bit mantissa),
+Precision.DEFAULT one bf16 pass.  The *recurrent* step matmul always
+runs HIGHEST - its rounding error compounds over tens of thousands of
+sequential steps.  The feed-forward matmuls (convolutions, per-layer
+input affines, the output head) do not compound, and measured against
+the reference C pipeline their HIGH-precision error (~1e-4 on
+transition weights) is the same order as the TPU's transcendental ulp
+envelope, at roughly half the MXU passes.
+
+Measured against the C-oracle transition weights (r941 graph, real
+signal): CPU 5.2e-6, TPU highest 3.9e-4, TPU high 5.4e-4, TPU default
+6.7e-2.  Default: HIGH - the same error order as the unavoidable TPU
+transcendental envelope, at half the MXU passes.  Set
+FLAPPIE_TPU_MATMUL_PRECISION=highest (or call set_ff_precision) for the
+bit-strictest TPU mode.  CPU ignores precision entirely (always true
+f32), so the parity suite is unaffected by this knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from jax import lax
+
+_LEVELS = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+_ff_precision = _LEVELS[
+    os.environ.get("FLAPPIE_TPU_MATMUL_PRECISION", "high").lower()
+]
+
+
+def ff_precision() -> lax.Precision:
+    """Precision for feed-forward (non-recurrent) matmuls."""
+    return _ff_precision
+
+
+def set_ff_precision(level: str) -> None:
+    global _ff_precision
+    _ff_precision = _LEVELS[level.lower()]

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .precision import ff_precision
+
 
 def _hmat(h, sW):
     """Recurrent matmul at full float32 precision on the MXU."""
@@ -45,7 +47,7 @@ def affine(x, W, b):
             "bti,ik->btk",
             x,
             W,
-            precision=lax.Precision.HIGHEST,
+            precision=ff_precision(),
             preferred_element_type=jnp.float32,
         )
         + b
