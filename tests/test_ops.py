@@ -53,9 +53,35 @@ def test_conv_batch_padding_no_leak():
     xpad = np.zeros((T_pad, Cin), np.float32)
     xpad[:T_short] = x
     solo = conv1d_same(jnp.asarray(x)[None], W, b, stride)[0]
-    padded = conv1d_same(jnp.asarray(xpad)[None], W, b, stride)[0]
+    padded = conv1d_same(
+        jnp.asarray(xpad)[None], W, b, stride, jnp.asarray([T_short])
+    )[0]
     nblk = -(-T_short // stride)
     np.testing.assert_allclose(padded[:nblk], solo, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("winlen,stride", [(19, 5), (19, 2), (11, 5), (7, 4)])
+def test_conv_ref_edge_lengths_in_padded_batch(winlen, stride):
+    """Per-read right-edge quirk columns must be computed from each
+    read's own length inside a padded batch, across a sweep of lengths
+    (the quirk geometry changes with n mod stride terms)."""
+    Cin, Cout, T_pad = 3, 4, 96
+    W, b = rnd(winlen, Cin, Cout, scale=0.3), rnd(Cout)
+    lengths = list(range(winlen + 2, T_pad + 1, 7)) + [T_pad]
+    xpad = np.zeros((len(lengths), T_pad, Cin), np.float32)
+    wants = []
+    for i, n in enumerate(lengths):
+        xpad[i, :n] = rnd(n, Cin)
+        wants.append(oracle.conv_same(xpad[i, :n].astype(np.float64), W, b, stride))
+    got = conv1d_same(
+        jnp.asarray(xpad), jnp.asarray(W), jnp.asarray(b), stride,
+        jnp.asarray(lengths, dtype=jnp.int32),
+    )
+    for i, want in enumerate(wants):
+        np.testing.assert_allclose(
+            got[i, : want.shape[0]], want, rtol=2e-5, atol=2e-5,
+            err_msg=f"n={lengths[i]}",
+        )
 
 
 # ---------------------------------------------------------------------------
