@@ -53,34 +53,52 @@ def conv_stack(params, cfg: ModelConfig, x, lengths):
     return x, lengths
 
 
-def _rnn_seq(kind: str, impl: str, xa, p):
-    """Dispatch one recurrence: fused Pallas kernel on TPU ("auto"),
-    lax.scan otherwise.  Both implement identical step semantics."""
+def _resolve_impl(impl: str) -> str:
     if impl == "auto":
         import jax
 
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-    if impl == "pallas" and kind in ("lstm", "grumod"):
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    return impl
+
+
+def _rnn_stack_fused_tm(params, cfg: ModelConfig, x, lengths):
+    """Time-major fused-kernel path: one transpose in, one out.
+
+    Each layer is a single Pallas kernel (input affine fused with the
+    recurrence, rnn_pallas.lstm_layer_tm) so the [B, T, G*H] affine
+    intermediate never exists in HBM and inter-layer data stays
+    time-major [T, B, H] (the kernels' native layout).
+    """
+    from ..ops.masking import mask_tail_tm, reverse_sequence_tm
+
+    x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, C]
+    for i, r in enumerate(cfg.rnns):
+        p = params[f"rnn{i}"]
+        xi = reverse_sequence_tm(x_tm, lengths) if r.backward else x_tm
         fn = {
-            "lstm": rnn_pallas.lstm_seq_pallas,
-            "grumod": rnn_pallas.grumod_seq_pallas,
-        }[kind]
-        return fn(xa, p["sW"])
-    if kind == "lstm":
-        return rnn_ops.lstm_seq(xa, p["sW"])
-    if kind == "grumod":
-        return rnn_ops.grumod_seq(xa, p["sW"])
-    raise ValueError(kind)
+            "lstm": rnn_pallas.lstm_layer_tm,
+            "grumod": rnn_pallas.grumod_layer_tm,
+        }[r.kind]
+        y = fn(xi, p["iW"], p["b"], p["sW"])
+        if r.backward:
+            y = reverse_sequence_tm(y, lengths)
+        x_tm = mask_tail_tm(y, lengths)
+    return jnp.swapaxes(x_tm, 0, 1)
 
 
 def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):
+    impl = _resolve_impl(rnn_impl)
+    if impl == "pallas" and all(r.kind in ("lstm", "grumod") for r in cfg.rnns):
+        return _rnn_stack_fused_tm(params, cfg, x, lengths)
     for i, r in enumerate(cfg.rnns):
         p = params[f"rnn{i}"]
         xa = rnn_ops.affine(x, p["iW"], p["b"])
         if r.backward:
             xa = reverse_sequence(xa, lengths)
-        if r.kind in ("lstm", "grumod"):
-            y = _rnn_seq(r.kind, rnn_impl, xa, p)
+        if r.kind == "lstm":
+            y = rnn_ops.lstm_seq(xa, p["sW"])
+        elif r.kind == "grumod":
+            y = rnn_ops.grumod_seq(xa, p["sW"])
         elif r.kind == "gru":
             y = rnn_ops.gru_seq(xa, p["sW"], p["sW2"])
         elif r.kind == "gru_relu":

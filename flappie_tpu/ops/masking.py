@@ -39,3 +39,18 @@ def reverse_sequence(x, lengths):
     t = jnp.arange(T)[None, :]
     idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def mask_tail_tm(x_tm, lengths):
+    """Time-major mask_tail: zero x[t, b, :] for t >= lengths[b]."""
+    T = x_tm.shape[0]
+    m = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x_tm.dtype)
+    return x_tm * m[:, :, None]
+
+
+def reverse_sequence_tm(x_tm, lengths):
+    """Time-major reverse_sequence: x [T, B, C]."""
+    T = x_tm.shape[0]
+    t = jnp.arange(T)[:, None]
+    idx = jnp.where(t < lengths[None, :], lengths[None, :] - 1 - t, t)
+    return jnp.take_along_axis(x_tm, idx[:, :, None], axis=0)

@@ -149,3 +149,155 @@ def lstm_seq_pallas(xaffine, sW, interpret=None):
 def grumod_seq_pallas(xaffine, sW, interpret=None):
     """Drop-in replacement for rnn.grumod_seq."""
     return _run_recurrent(_grumod_kernel, xaffine, sW, gates=3, carries=1, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused layer kernels: input affine computed inside the kernel
+# ---------------------------------------------------------------------------
+#
+# The unfused path materialises the whole [B, T, G*H] input affine in
+# HBM and streams it back in (the dominant DMA and, at large B, an
+# HBM-capacity blocker).  The fused kernels stream the raw layer input
+# [K, B, IN] instead (G*x smaller), compute the block's input affine as
+# one efficient [K*B, IN] x [IN, G*H] MXU matmul on arrival, and keep
+# the per-step state logic identical.  The affine runs at the
+# feed-forward precision policy; the recurrent step matmul stays
+# HIGHEST (see ops.precision).
+
+
+def _lstm_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_ref, xa_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    H = h_ref.shape[-1]
+    K, B, IN = x_ref.shape
+    sw = sw_ref[:]
+    # block input affine into VMEM scratch (refs support dynamic step
+    # indexing inside the loop; values would need dynamic_slice, which
+    # Mosaic does not lower)
+    xa_ref[:] = (
+        jnp.dot(
+            x_ref[:].reshape(K * B, IN),
+            iw_ref[:],
+            precision=ffprec,
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[:]
+    ).reshape(K, B, 4 * H)
+
+    def step(k, carry):
+        h, c = carry
+        xF = xa_ref[k] + jnp.dot(
+            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        u = jax.nn.sigmoid(xF[:, :H])
+        f = jax.nn.sigmoid(xF[:, H : 2 * H])
+        g = jnp.tanh(xF[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(xF[:, 3 * H :])
+        c = f * c + u * g
+        h = o * jnp.tanh(c)
+        out_ref[k] = h
+        return h, c
+
+    h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+def _grumod_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, xa_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    H = h_ref.shape[-1]
+    K, B, IN = x_ref.shape
+    sw = sw_ref[:]
+    xa_ref[:] = (
+        jnp.dot(
+            x_ref[:].reshape(K * B, IN),
+            iw_ref[:],
+            precision=ffprec,
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[:]
+    ).reshape(K, B, 3 * H)
+
+    def step(k, h):
+        x = xa_ref[k]
+        v = jnp.dot(
+            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
+        r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
+        hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
+        h = z * h + (1 - z) * hbar
+        out_ref[k] = h
+        return h
+
+    h_ref[:] = lax.fori_loop(0, K, step, h_ref[:], unroll=True)
+
+
+def _fused_time_block(B: int, IN: int, GH: int, H: int) -> int:
+    """Largest power-of-two K whose VMEM working set fits: 2 x-blocks
+    [K, B, IN], 2 out-blocks [K, B, H], the block affine [K, B, GH]."""
+    per_k = 4 * B * (2 * IN + 2 * H + GH)
+    K = 16
+    while K > 1 and K * per_k > VMEM_BUDGET:
+        K //= 2
+    return K
+
+
+def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
+    """x_tm: [T, B, IN] (time-major) -> [T, B, H]."""
+    from .precision import ff_precision
+
+    # Mosaic rejects Precision.HIGH inside kernels; clamp to HIGHEST
+    # (the in-kernel affine is a large efficient matmul, the pass-count
+    # difference is minor there).
+    ffprec = ff_precision()
+    if ffprec == lax.Precision.HIGH:
+        ffprec = lax.Precision.HIGHEST
+
+    T, B, IN = x_tm.shape
+    GH = iW.shape[1]
+    H = GH // gates
+    if interpret is None:
+        interpret = _use_interpret()
+    K = _fused_time_block(B, IN, GH, H)
+    Tpad = -(-T // K) * K
+    if Tpad != T:
+        x_tm = jnp.pad(x_tm, ((0, Tpad - T), (0, 0), (0, 0)))
+
+    scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
+    scratch.append(pltpu.VMEM((K, B, GH), jnp.float32))  # block affine
+    out = pl.pallas_call(
+        functools.partial(kernel, ffprec),
+        grid=(Tpad // K,),
+        in_specs=[
+            pl.BlockSpec((K, B, IN), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GH,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tpad, B, H), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x_tm, iW, b, sW)
+    return out[:T]
+
+
+def lstm_layer_tm(x_tm, iW, b, sW, interpret=None):
+    """Fused input-affine + LSTM recurrence, time-major in/out."""
+    return _run_fused(_lstm_fused_kernel, x_tm, iW, b, sW, 4, 2, interpret)
+
+
+def grumod_layer_tm(x_tm, iW, b, sW, interpret=None):
+    """Fused input-affine + GRU-mod recurrence, time-major in/out."""
+    return _run_fused(_grumod_fused_kernel, x_tm, iW, b, sW, 3, 1, interpret)

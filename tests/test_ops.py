@@ -296,3 +296,57 @@ def test_pallas_kernels_match_scan(kind):
     a = base(jnp.asarray(xa[:, :29]), jnp.asarray(sW))
     b = fused(jnp.asarray(xa[:, :29]), jnp.asarray(sW), interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["lstm", "grumod"])
+@pytest.mark.parametrize("T", [32, 29])
+def test_pallas_fused_layer_matches_affine_plus_scan(kind, T):
+    """Fused (input affine inside the kernel) layer == affine + scan."""
+    from flappie_tpu.ops import rnn_pallas
+
+    B, IN, H = 3, 8, 16
+    gates = 4 if kind == "lstm" else 3
+    x = rnd(B, T, IN)
+    iW = rnd(IN, gates * H, scale=0.3)
+    bias = rnd(gates * H, scale=0.2)
+    sW = rnd(H, gates * H, scale=0.3)
+    xa = rnn_ops.affine(jnp.asarray(x), jnp.asarray(iW), jnp.asarray(bias))
+    base = {"lstm": rnn_ops.lstm_seq, "grumod": rnn_ops.grumod_seq}[kind]
+    want = base(xa, jnp.asarray(sW))
+    fused = {
+        "lstm": rnn_pallas.lstm_layer_tm,
+        "grumod": rnn_pallas.grumod_layer_tm,
+    }[kind]
+    got = fused(
+        jnp.swapaxes(jnp.asarray(x), 0, 1), jnp.asarray(iW),
+        jnp.asarray(bias), jnp.asarray(sW), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(want), np.swapaxes(np.asarray(got), 0, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_rnn_stack_fused_matches_scan_path():
+    """network.rnn_stack 'pallas' (fused time-major, interpret mode on
+    CPU) == 'scan' path, with backward layers and masked tails."""
+    from flappie_tpu.models.config import get_model_config
+    from flappie_tpu.models.network import rnn_stack
+    from flappie_tpu.models.params import init_synthetic
+    from dataclasses import replace
+
+    cfg = get_model_config("r941_native")
+    cfg = replace(
+        cfg,
+        convs=tuple(replace(c, out_ch=min(c.out_ch, 8)) for c in cfg.convs),
+        rnns=tuple(replace(r, size=8) for r in cfg.rnns),
+    )
+    params = jax.tree.map(
+        jnp.asarray,
+        {k: v for k, v in init_synthetic(cfg, seed=3).items() if k.startswith("rnn") or k == "ff"},
+    )
+    B, T, C = 2, 37, 8
+    x = jnp.asarray(rnd(B, T, C))
+    lengths = jnp.asarray(np.array([37, 21], np.int32))
+    a = rnn_stack(params, cfg, x, lengths, "scan")
+    b = rnn_stack(params, cfg, x, lengths, "pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
