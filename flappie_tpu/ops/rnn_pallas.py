@@ -165,7 +165,7 @@ def grumod_seq_pallas(xaffine, sW, interpret=None):
 # HIGHEST (see ops.precision).
 
 
-def _lstm_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_ref, xa_ref):
+def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_ref, xa_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -192,7 +192,7 @@ def _lstm_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_r
     def step(k, carry):
         h, c = carry
         xF = xa_ref[k] + jnp.dot(
-            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+            h, sw, precision=rnnprec, preferred_element_type=jnp.float32
         )
         u = jax.nn.sigmoid(xF[:, :H])
         f = jax.nn.sigmoid(xF[:, H : 2 * H])
@@ -208,7 +208,7 @@ def _lstm_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_r
     c_ref[:] = c
 
 
-def _grumod_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, xa_ref):
+def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, xa_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -231,7 +231,7 @@ def _grumod_fused_kernel(ffprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, x
     def step(k, h):
         x = xa_ref[k]
         v = jnp.dot(
-            h, sw, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+            h, sw, precision=rnnprec, preferred_element_type=jnp.float32
         )
         z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
         r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
@@ -260,9 +260,14 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
     # Mosaic rejects Precision.HIGH inside kernels; clamp to HIGHEST
     # (the in-kernel affine is a large efficient matmul, the pass-count
     # difference is minor there).
+    from .precision import rnn_precision
+
     ffprec = ff_precision()
     if ffprec == lax.Precision.HIGH:
         ffprec = lax.Precision.HIGHEST
+    rnnprec = rnn_precision()
+    if rnnprec == lax.Precision.HIGH:
+        rnnprec = lax.Precision.HIGHEST
 
     T, B, IN = x_tm.shape
     GH = iW.shape[1]
@@ -277,7 +282,7 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
     scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
     scratch.append(pltpu.VMEM((K, B, GH), jnp.float32))  # block affine
     out = pl.pallas_call(
-        functools.partial(kernel, ffprec),
+        functools.partial(kernel, ffprec, rnnprec),
         grid=(Tpad // K,),
         in_specs=[
             pl.BlockSpec((K, B, IN), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
