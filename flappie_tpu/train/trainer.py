@@ -33,8 +33,13 @@ from ..ops.crf import path_score
 
 
 def nll_loss(params, cfg: ModelConfig, signal, lengths, target_path):
-    """signal [B,T], lengths [B], target_path [B, T//stride + 1] int32."""
-    trans, nblocks = transitions(params, cfg, signal, lengths)
+    """signal [B,T], lengths [B], target_path [B, T//stride + 1] int32.
+
+    Uses the lax.scan recurrence explicitly: the fused Pallas kernels
+    are inference-only (no VJP rule), and XLA differentiates the scan
+    path end to end on any backend.
+    """
+    trans, nblocks = transitions(params, cfg, signal, lengths, rnn_impl="scan")
     score = path_score(trans, target_path, nblocks, cfg.nbase)
     return -jnp.mean(score / nblocks.astype(trans.dtype))
 
