@@ -151,6 +151,35 @@ def grumod_seq_pallas(xaffine, sW, interpret=None):
     return _run_recurrent(_grumod_kernel, xaffine, sW, gates=3, carries=1, interpret=interpret)
 
 
+def _split_bf16(a):
+    """a (f32) -> (hi, lo) bf16 with hi + lo ~= a (error ~2^-16 rel)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(h, sw_hi, sw_lo):
+    """3-pass bf16 emulation of a float32 matmul (~2^-21 mantissa,
+    the HIGH tier Mosaic doesn't lower natively): h*sw = hi*hi + hi*lo
+    + lo*hi, each a single-pass bf16 MXU matmul with f32 accumulation."""
+    h_hi, h_lo = _split_bf16(h)
+    d = lambda a, b: jnp.dot(
+        a, b, precision=lax.Precision.DEFAULT, preferred_element_type=jnp.float32
+    )
+    return d(h_hi, sw_hi) + d(h_hi, sw_lo) + d(h_lo, sw_hi)
+
+
+def _make_rdot(rnnprec, sw):
+    """Per-step recurrent matmul at the requested precision tier;
+    'high3' hoists the bf16 weight split out of the step loop."""
+    if rnnprec == "high3":
+        sw_hi, sw_lo = _split_bf16(sw)
+        return lambda h: _dot_bf16x3(h, sw_hi, sw_lo)
+    return lambda h: jnp.dot(
+        h, sw, precision=rnnprec, preferred_element_type=jnp.float32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused layer kernels: input affine computed inside the kernel
 # ---------------------------------------------------------------------------
@@ -176,6 +205,7 @@ def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h
     H = h_ref.shape[-1]
     K, B, IN = x_ref.shape
     sw = sw_ref[:]
+    rdot = _make_rdot(rnnprec, sw)
     # block input affine into VMEM scratch (refs support dynamic step
     # indexing inside the loop; values would need dynamic_slice, which
     # Mosaic does not lower)
@@ -191,9 +221,7 @@ def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h
 
     def step(k, carry):
         h, c = carry
-        xF = xa_ref[k] + jnp.dot(
-            h, sw, precision=rnnprec, preferred_element_type=jnp.float32
-        )
+        xF = xa_ref[k] + rdot(h)
         u = jax.nn.sigmoid(xF[:, :H])
         f = jax.nn.sigmoid(xF[:, H : 2 * H])
         g = jnp.tanh(xF[:, 2 * H : 3 * H])
@@ -218,6 +246,7 @@ def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
     H = h_ref.shape[-1]
     K, B, IN = x_ref.shape
     sw = sw_ref[:]
+    rdot = _make_rdot(rnnprec, sw)
     xa_ref[:] = (
         jnp.dot(
             x_ref[:].reshape(K * B, IN),
@@ -230,9 +259,7 @@ def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
 
     def step(k, h):
         x = xa_ref[k]
-        v = jnp.dot(
-            h, sw, precision=rnnprec, preferred_element_type=jnp.float32
-        )
+        v = rdot(h)
         z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
         r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
         hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
@@ -267,7 +294,7 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
         ffprec = lax.Precision.HIGHEST
     rnnprec = rnn_precision()
     if rnnprec == lax.Precision.HIGH:
-        rnnprec = lax.Precision.HIGHEST
+        rnnprec = "high3"  # manual bf16x3 emulation (see _dot_bf16x3)
 
     T, B, IN = x_tm.shape
     GH = iW.shape[1]
