@@ -176,21 +176,35 @@ class Basecaller:
             b = bucket_length(rt.end - rt.start)
             by_bucket.setdefault(b, []).append((i, rt))
 
+        # Dispatch ahead: queue batch n+1 on device before materialising
+        # batch n, so host assembly and device->host transfer overlap
+        # the next batch's compute (JAX async dispatch).
+        def _dispatch(chunk, bucket):
+            B = len(chunk)
+            sig = np.zeros((B, bucket), F32)
+            lengths = np.zeros(B, np.int32)
+            for j, (_, rt) in enumerate(chunk):
+                seg = rt.active()
+                sig[j, : seg.size] = seg
+                lengths[j] = seg.size
+            return chunk, self.call_batch_device(sig, lengths)
+
+        def _collect(chunk, out):
+            score, path, qpath, nblocks, trace = (np.asarray(x) for x in out)
+            for j, (i, rt) in enumerate(chunk):
+                results[i] = self._assemble(
+                    rt, score[j], path[j], qpath[j], int(nblocks[j]), trace[j], reverse
+                )
+
+        pending = None
         for bucket, items in sorted(by_bucket.items()):
             for ofs in range(0, len(items), max_batch):
-                chunk = items[ofs : ofs + max_batch]
-                B = len(chunk)
-                sig = np.zeros((B, bucket), F32)
-                lengths = np.zeros(B, np.int32)
-                for j, (_, rt) in enumerate(chunk):
-                    seg = rt.active()
-                    sig[j, : seg.size] = seg
-                    lengths[j] = seg.size
-                score, path, qpath, nblocks, trace = self.call_batch(sig, lengths)
-                for j, (i, rt) in enumerate(chunk):
-                    results[i] = self._assemble(
-                        rt, score[j], path[j], qpath[j], int(nblocks[j]), trace[j], reverse
-                    )
+                dispatched = _dispatch(items[ofs : ofs + max_batch], bucket)
+                if pending is not None:
+                    _collect(*pending)
+                pending = dispatched
+        if pending is not None:
+            _collect(*pending)
         return results
 
     def basecall_read(self, rt: RawTable, **kw) -> Optional[BasecallResult]:
