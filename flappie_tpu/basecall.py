@@ -29,7 +29,7 @@ from .io.fastx import BasecallResult
 from .models.config import ModelConfig, get_model_config
 from .models.network import transitions
 from .models.params import init_synthetic, load_npz, validate
-from .ops.crf import crf_transpost, crf_viterbi, trace_from_posterior
+from .ops.crf import crf_transpost, crf_viterbi, phred_from_qpath, trace_from_posterior
 from .signal.preprocess import RawTable, normalise_signal, trim_and_segment
 
 F32 = np.float32
@@ -53,8 +53,6 @@ def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, 
     trace uint8): everything the host needs, one byte per block, so the
     device->host transfer stays small.
     """
-    from .ops.crf import phred_from_qpath
-
     if viterbi_only:
         mat = trans
     else:

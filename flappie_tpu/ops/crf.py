@@ -364,6 +364,12 @@ def crf_viterbi(trans, nblocks, nbase: int, idx: TransIndex | None = None):
 
 
 M_LOG10E = 0.43429448190325182765  # glibc math.h
+# The reference multiplies log1pf(-p) by the *double* -10*M_LOG10E
+# (src/util.h:288) and rounds once to float; emulate that without f64
+# via a hi/lo split of the constant (double-single product).
+_QC = -10.0 * M_LOG10E
+_QC_HI = np.float32(_QC)
+_QC_LO = np.float32(_QC - float(_QC_HI))
 
 
 def phred_from_qpath(qpath):
@@ -371,14 +377,16 @@ def phred_from_qpath(qpath):
 
     Device version of qscoref/phredf (src/util.h:286-304): p = exp(q)
     clipped at 0.99999, Q = -10*log10(1-p), chr(round(33+Q)) capped at
-    126.  Bit-compatible with decode.seq.phred_chars (verified over a
-    dense sweep); computing this on device shrinks the device->host
-    transfer to one byte per block.  qpath[0] is NaN (reference quirk);
-    its byte is never consumed (change_positions indices start at 1).
+    126.  Matches decode.seq.phred_chars including its double-precision
+    constant multiply (verified over a dense sweep); computing this on
+    device shrinks the device->host transfer to one byte per block.
+    qpath[0] is NaN (reference quirk); its byte is never consumed
+    (change_positions indices start at 1).
     """
     p = jnp.exp(qpath.astype(jnp.float32))
     p = jnp.minimum(p, jnp.float32(0.99999))
-    q = jnp.float32(-10.0 * M_LOG10E) * jnp.log1p(-p)
+    l1p = jnp.log1p(-p)
+    q = _QC_HI * l1p + _QC_LO * l1p
     ph = jnp.floor(jnp.float32(33.0) + q + jnp.float32(0.5))
     ph = jnp.where(jnp.isnan(ph), 33.0, ph)
     return jnp.minimum(ph, 126.0).astype(jnp.uint8)

@@ -59,17 +59,22 @@ class DistributedBasecaller(Basecaller):
         with self.mesh:
             self.params = shard_params(self.params, self.mesh)
 
-    def call_batch(self, signals: np.ndarray, lengths: np.ndarray):
+    def call_batch_device(self, signals: np.ndarray, lengths: np.ndarray):
+        # Overriding the device-dispatch point (rather than call_batch)
+        # keeps every caller on the sharded path, including the
+        # pipelined basecall_raw_tables loop.
         B = signals.shape[0]
         pad = (-B) % self.n_data
         if pad:
             signals = np.concatenate(
                 [signals, np.zeros((pad, signals.shape[1]), signals.dtype)], axis=0
             )
-            lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad, np.asarray(lengths).dtype)]
+            )
         s = batch_sharding(self.mesh)
         with self.mesh:
-            out = super().call_batch(
+            out = super().call_batch_device(
                 jax.device_put(jnp.asarray(signals), s),
                 jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)), s),
             )

@@ -252,3 +252,23 @@ def test_chaos_fault_isolation(tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert out.read_text() == ""
     assert "No basecall returned" in capsys.readouterr().err
+
+
+def test_device_phred_matches_host_formula():
+    """ops.crf.phred_from_qpath (device, used by _device_decode) must
+    agree with decode.seq's host formula, including the double-precision
+    constant multiply (emulated hi/lo on device), over a dense sweep and
+    near the rounding boundaries."""
+    import jax.numpy as jnp
+
+    from flappie_tpu.ops.crf import phred_from_qpath
+
+    rng = np.random.default_rng(7)
+    q = np.concatenate([
+        rng.uniform(-30, 0, 300000),
+        np.linspace(-25, 0, 300000),
+    ]).astype(np.float32)
+    host = phred_chars(np.exp(q, dtype=np.float32))
+    dev = np.asarray(phred_from_qpath(jnp.asarray(q)))
+    mism = np.nonzero(host != dev)[0]
+    assert mism.size == 0, f"{mism.size} mismatched quality bytes, e.g. q={q[mism[:5]]}"

@@ -46,8 +46,11 @@ pytestmark = pytest.mark.skipif(
 
 
 def _manifest():
-    with open(os.path.join(GOLDENS, "manifest.json")) as fh:
-        return json.load(fh)
+    try:
+        with open(os.path.join(GOLDENS, "manifest.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"cases": {}}  # pytestmark skips every test
 
 
 def _golden(name: str) -> str:
