@@ -117,6 +117,18 @@ def _lse(x, axis):
 CRF_TIME_BLOCK = 16
 
 
+def _use_pallas() -> bool:
+    """Opt-in (FLAPPIE_TPU_CRF_IMPL=pallas): run the time scans as the
+    Pallas kernels in ops/crf_pallas.py.  Measured on v5e they match
+    the blocked lax.scan (110 vs 105 ms for a full fb+viterbi decode at
+    B=64, T=13k) - the decode is bound by the dense [B,T,S,S] streaming
+    rather than scan overhead once the scan is 16-step blocked - so the
+    scan stays the default (and the parity/numerical reference)."""
+    import os
+
+    return os.environ.get("FLAPPIE_TPU_CRF_IMPL") == "pallas"
+
+
 def _scan_blocked(step, init, xs, K: int = CRF_TIME_BLOCK):
     """lax.scan with K steps unrolled per iteration.
 
@@ -178,9 +190,16 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return alpha, alpha
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]  # [B, T]
-    _, alphas = _scan_blocked(
-        step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
-    )
+    if _use_pallas():
+        from .crf_pallas import fwd_scan_pallas
+
+        alphas = fwd_scan_pallas(
+            jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1)
+        )
+    else:
+        _, alphas = _scan_blocked(
+            step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
+        )
     alphas = jnp.concatenate([a0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1)
     final = jnp.take_along_axis(
         alphas, nblocks[:, None, None].astype(jnp.int32), axis=1
@@ -212,14 +231,24 @@ def crf_backward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
     # scan over reversed time
-    _, betas_rev = _scan_blocked(
-        step,
-        b_end,
-        (
-            jnp.swapaxes(dense, 0, 1)[::-1],
+    if _use_pallas():
+        from .crf_pallas import fwd_scan_pallas
+
+        # the backward update lse(m + beta, axis=to) is the forward
+        # update on the transposed transition matrices
+        betas_rev = fwd_scan_pallas(
+            jnp.swapaxes(dense, 0, 1)[::-1].swapaxes(-1, -2),
             jnp.swapaxes(tvalid, 0, 1)[::-1],
-        ),
-    )
+        )
+    else:
+        _, betas_rev = _scan_blocked(
+            step,
+            b_end,
+            (
+                jnp.swapaxes(dense, 0, 1)[::-1],
+                jnp.swapaxes(tvalid, 0, 1)[::-1],
+            ),
+        )
     betas = jnp.concatenate(
         [b_end[:, None], jnp.swapaxes(betas_rev, 0, 1)], axis=1
     )[:, ::-1]
@@ -286,9 +315,19 @@ def crf_viterbi_forward(trans, nblocks, nbase: int, idx: TransIndex | None = Non
         return alpha_next, bp
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
-    alpha, bps = _scan_blocked(
-        step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
-    )
+    if _use_pallas():
+        from .crf_pallas import viterbi_scan_pallas
+
+        alphas, bps = viterbi_scan_pallas(
+            jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1)
+        )
+        # the state freezes on padded steps, so the last row equals the
+        # scan path's final carry
+        alpha = alphas[-1]
+    else:
+        alpha, bps = _scan_blocked(
+            step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
+        )
     backptr = jnp.swapaxes(bps, 0, 1)  # [B, T, nstate]
     score = jnp.max(alpha, axis=-1)
     last_state = jnp.argmax(alpha, axis=-1).astype(jnp.int32)
@@ -313,11 +352,20 @@ def viterbi_traceback(backptr, last_state, nblocks):
         return state, state
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
-    _, states_rev = _scan_blocked(
-        step,
-        last_state,
-        (jnp.swapaxes(backptr, 0, 1)[::-1], jnp.swapaxes(tvalid, 0, 1)[::-1]),
-    )
+    if _use_pallas():
+        from .crf_pallas import traceback_pallas
+
+        states_rev = traceback_pallas(
+            jnp.swapaxes(backptr, 0, 1)[::-1],
+            jnp.swapaxes(tvalid, 0, 1)[::-1],
+            last_state,
+        )
+    else:
+        _, states_rev = _scan_blocked(
+            step,
+            last_state,
+            (jnp.swapaxes(backptr, 0, 1)[::-1], jnp.swapaxes(tvalid, 0, 1)[::-1]),
+        )
     path = jnp.concatenate(
         [last_state[:, None], jnp.swapaxes(states_rev, 0, 1)], axis=1
     )[:, ::-1]

@@ -350,3 +350,27 @@ def test_rnn_stack_fused_matches_scan_path():
     a = rnn_stack(params, cfg, x, lengths, "scan")
     b = rnn_stack(params, cfg, x, lengths, "pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_crf_pallas_scans_match_scan_impl(monkeypatch):
+    """Pallas CRF kernels (interpret mode on CPU) == blocked-scan path:
+    transpost, Viterbi scores/paths/backpointers, traceback."""
+    import flappie_tpu.ops.crf as crf_mod
+
+    B, T, nbase = 3, 45, 4
+    idx = crf_mod.flipflop_index(nbase)
+    trans = jnp.asarray(rnd(B, T, idx.nparam, scale=2.0))
+    nblocks = jnp.asarray(np.array([45, 33, 20], np.int32))
+
+    want_tp = crf_mod.crf_transpost(trans, nblocks, nbase)
+    want_v = crf_mod.crf_viterbi(trans, nblocks, nbase)
+
+    monkeypatch.setattr(crf_mod, "_use_pallas", lambda: True)
+    got_tp = crf_mod.crf_transpost(trans, nblocks, nbase)
+    got_v = crf_mod.crf_viterbi(trans, nblocks, nbase)
+
+    np.testing.assert_allclose(np.asarray(want_tp), np.asarray(got_tp), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(want_v[0]), np.asarray(got_v[0]), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(want_v[1]), np.asarray(got_v[1]))  # paths
+    q_w, q_g = np.asarray(want_v[2]), np.asarray(got_v[2])
+    np.testing.assert_allclose(q_w[:, 1:], q_g[:, 1:], rtol=1e-6, atol=1e-6)
