@@ -38,6 +38,10 @@ CASES = {
     "r103_fb": dict(model="r103_native", format="fastq"),
     "rle_fb": dict(model="rle_r941_native", format="run", dump=True),
     "rle_vit": dict(model="rle_r941_native", format="run", viterbi=True),
+    # non-default preprocessing flags exercise trim/segmentation parity
+    "ff_trim": dict(model="r941_native", format="fastq",
+                    trim=(60, 25), segmentation=(150, 0.1)),
+    "mc5_vit_sam": dict(model="r941_5mC", format="sam", viterbi=True),
 }
 
 NSAMPLE = 12000
@@ -75,6 +79,12 @@ def main() -> None:
                 cmd += ["--delta", str(opts["delta"])]
             if opts.get("reverse"):
                 cmd += ["--reverse"]
+            if opts.get("trim"):
+                cmd += ["--trim-start", str(opts["trim"][0]),
+                        "--trim-end", str(opts["trim"][1])]
+            if opts.get("segmentation"):
+                cmd += ["--varseg-chunk", str(opts["segmentation"][0]),
+                        "--varseg-thresh", str(opts["segmentation"][1])]
             dumps = {}
             if opts.get("dump"):
                 dumps["trans"] = os.path.join(td, f"{case}.trans.bin")

@@ -101,8 +101,16 @@ def _our_flipflop(raw, o):
         compute_trace=True,
     )
     rt = RawTable(UUID, raw.size, 0, raw.size, raw.copy())
+    trim = o.get("trim") or (200, 10)
+    seg = o.get("segmentation") or (100, 0.0)
     res = bc.basecall_read(
-        rt, delta=o.get("delta") or 0.0, reverse=bool(o.get("reverse"))
+        rt,
+        delta=o.get("delta") or 0.0,
+        reverse=bool(o.get("reverse")),
+        trim_start=trim[0],
+        trim_end=trim[1],
+        varseg_chunk=seg[0],
+        varseg_thresh=seg[1],
     )
     return format_read(o["format"], res.uuid, READNAME, True, "", res)
 
