@@ -272,3 +272,51 @@ def test_device_phred_matches_host_formula():
     dev = np.asarray(phred_from_qpath(jnp.asarray(q)))
     mism = np.nonzero(host != dev)[0]
     assert mism.size == 0, f"{mism.size} mismatched quality bytes, e.g. q={q[mism[:5]]}"
+
+
+def test_read_shorter_than_trim_fails_gracefully(tmp_path, capsys):
+    """A read shorter than the fixed trims must yield 'No basecall
+    returned' and not crash the batch (reference: trim_and_segment_raw
+    leaves an empty window, flappie.c:372-375 skips the read)."""
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+    from flappie_tpu.cli.flappie import main
+
+    f5 = tmp_path / "tiny.fast5"
+    write_single_read_fast5(str(f5), np.full(150, 500.0, np.float32), "tiny-read")
+    out = tmp_path / "o.fastq"
+    rc = main([str(f5), "-o", str(out)])
+    assert rc == 0
+    assert out.read_text() == ""
+    assert "No basecall returned" in capsys.readouterr().err
+
+
+def test_corrupt_fast5_fails_gracefully(tmp_path, capsys):
+    """Unreadable fast5 -> per-read error, exit code 0 (per-read fault
+    isolation, reference warnx + continue)."""
+    from flappie_tpu.cli.flappie import main
+
+    bad = tmp_path / "bad.fast5"
+    bad.write_bytes(b"not an hdf5 file")
+    out = tmp_path / "o.fastq"
+    rc = main([str(bad), "-o", str(out)])
+    assert rc == 0
+    assert out.read_text() == ""
+    assert "No basecall returned" in capsys.readouterr().err
+
+
+def test_mixed_batch_one_bad_read_others_survive(tmp_path, capsys):
+    """One failing read in a multi-file batch must not poison the rest."""
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+    from flappie_tpu.cli.flappie import main
+
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    good = tmp_path / "a_good.fast5"
+    write_single_read_fast5(str(good), raw[:8000], "good-read")
+    bad = tmp_path / "b_bad.fast5"
+    bad.write_bytes(b"junk")
+    out = tmp_path / "o.fastq"
+    rc = main([str(good), str(bad), "-o", str(out)])
+    assert rc == 0
+    text = out.read_text()
+    assert text.startswith("@good-read")
+    assert "No basecall returned" in capsys.readouterr().err
