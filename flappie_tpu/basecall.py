@@ -247,7 +247,7 @@ class Basecaller:
             self.temperature,
             self.rnn_impl,
         )
-        stitched = stitch_trans(np.asarray(trans), np.asarray(nblocks), plan)
+        stitched = stitch_trans(np.asarray(trans), plan)
         T = stitched.shape[0]
         Tpad = -(-T // 256) * 256
         buf = np.zeros((1, Tpad, stitched.shape[1]), F32)

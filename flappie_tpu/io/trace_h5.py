@@ -30,6 +30,8 @@ class TraceWriter:
     def write(self, readname: str, res: BasecallResult) -> None:
         if self._fh is None or res.trace is None:
             return
+        if readname in self._fh:  # re-run into an existing file, or a
+            del self._fh[readname]  # duplicated read id: last write wins
         grp = self._fh.create_group(readname)
         kw = {}
         if self.compression_level > 0:

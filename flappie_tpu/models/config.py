@@ -53,9 +53,6 @@ class ModelConfig:
     head: str  # flipflop | runlength | runlengthV2
     nbase: int = 4
     out_dim: int = field(init=False, default=0)
-    # CLI conveniences mirroring reference model behaviour
-    default_reverse: bool = False
-    default_delta: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "out_dim", head_nparam(self.head, self.nbase))
@@ -145,10 +142,9 @@ MODELS = {
         description="R9.4.1 dRNA model for MinION.  Trained from native and synthetic RNA library",
         convs=_guppy_stride5_convs(HIDDEN),
         rnns=_lstm5(HIDDEN),
+        # like the reference, dRNA mode is explicit: --reverse --delta 1.0
         head="flipflop",
         nbase=4,
-        default_reverse=True,
-        default_delta=1.0,
     ),
     "r941_5mC": ModelConfig(
         name="r941_5mC",

@@ -94,19 +94,25 @@ def preprocess_batch(
 ) -> List[Optional[RawTable]]:
     """Trim + normalise a batch of reads on the native thread pool.
 
-    Returns new RawTables (signal buffers normalised in place within the
-    trimmed window), or None per read where trimming consumed the read.
-    Falls back to the numpy path if the library is unavailable.
+    The input RawTables are never mutated: each read's [start, end)
+    window is copied, trimmed and normalised, and a fresh RawTable is
+    returned with the same ``n`` and absolute start/end indices (both
+    paths agree exactly; the numpy fallback is the bit-identical
+    reference implementation).  None per read where trimming consumed
+    the read.
     """
+    from dataclasses import replace
+
+    from .signal.preprocess import normalise_signal, trim_and_segment
+
     lib = load()
     if lib is None:
-        from .signal.preprocess import normalise_signal, trim_and_segment
-
         out: List[Optional[RawTable]] = []
         for rt in reads:
             if rt.raw is None:
                 out.append(None)
                 continue
+            rt = replace(rt, raw=rt.raw.copy())  # callers keep their data
             rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
             out.append(normalise_signal(rt, delta) if rt.valid else None)
         return out
@@ -115,9 +121,11 @@ def preprocess_batch(
     offsets = np.zeros(len(valid_idx) + 1, dtype=np.int64)
     bufs = []
     for j, i in enumerate(valid_idx):
-        raw = np.ascontiguousarray(reads[i].raw, dtype=np.float32)
-        bufs.append(raw)
-        offsets[j + 1] = offsets[j] + raw.size
+        # the native path processes each read's active window, like the
+        # numpy path's window-aware trim
+        win = np.ascontiguousarray(reads[i].active(), dtype=np.float32)
+        bufs.append(win)
+        offsets[j + 1] = offsets[j] + win.size
     signals = np.concatenate(bufs) if bufs else np.zeros(0, np.float32)
     starts = np.zeros(len(valid_idx), dtype=np.int64)
     ends = np.zeros(len(valid_idx), dtype=np.int64)
@@ -132,12 +140,16 @@ def preprocess_batch(
     for j, i in enumerate(valid_idx):
         if starts[j] >= ends[j]:
             continue
-        seg = signals[offsets[j] : offsets[j + 1]]
+        rt = reads[i]
+        # rebuild a full-length buffer with the processed window, so
+        # start/end stay absolute indices like the numpy path's
+        full = np.asarray(rt.raw, dtype=np.float32).copy()
+        full[rt.start : rt.end] = signals[offsets[j] : offsets[j + 1]]
         out[i] = RawTable(
-            uuid=reads[i].uuid,
-            n=int(offsets[j + 1] - offsets[j]),
-            start=int(starts[j]),
-            end=int(ends[j]),
-            raw=seg,
+            uuid=rt.uuid,
+            n=rt.n,
+            start=rt.start + int(starts[j]),
+            end=rt.start + int(ends[j]),
+            raw=full,
         )
     return out

@@ -36,6 +36,9 @@ from jax import lax
 NEG_BIG = -3.0e38  # effectively -inf in float32 without nan arithmetic
 
 
+RANK_BIG = 10**6  # tie_rank for forbidden transitions
+
+
 class TransIndex(NamedTuple):
     """Static sparse-transition structure of a CRF (flip-flop or RLE)."""
 
@@ -46,6 +49,9 @@ class TransIndex(NamedTuple):
     to_state: np.ndarray  # [nparam] int32
     param_idx: np.ndarray  # [nstate, nstate] int32, -1 where forbidden
     allowed: np.ndarray  # [nstate, nstate] bool
+    tie_rank: np.ndarray  # [nstate, nstate] int32: Viterbi tie preference
+    # (lower wins on equal scores), transcribing each reference decode
+    # loop's candidate iteration order and strict-> comparisons
 
 
 @lru_cache(maxsize=None)
@@ -72,7 +78,20 @@ def flipflop_index(nbase: int) -> TransIndex:
         to_state[off + nbase + b] = nbase + b
         param_idx[nbase + b, nbase + b] = off + nbase + b
     allowed = param_idx >= 0
-    return TransIndex(nbase, nstate, nparam, from_state, to_state, param_idx, allowed)
+    # Viterbi tie order (decode.c:153-180): flip destinations iterate
+    # from-state 0..nstate-1 with strict >, so the lowest from wins
+    # ties; flop destinations initialise with the stay and only take
+    # the flip->flop move on strict >, so the stay wins ties.
+    tie_rank = np.full((nstate, nstate), RANK_BIG, dtype=np.int32)
+    for to in range(nbase):
+        for frm in range(nstate):
+            tie_rank[frm, to] = frm
+    for b in range(nbase):
+        tie_rank[nbase + b, nbase + b] = 0  # stay preferred
+        tie_rank[b, nbase + b] = 1
+    return TransIndex(
+        nbase, nstate, nparam, from_state, to_state, param_idx, allowed, tie_rank
+    )
 
 
 @lru_cache(maxsize=None)
@@ -101,7 +120,23 @@ def rle_index(nbase: int) -> TransIndex:
         to_state[p] = to
         param_idx[rem, to] = p
     allowed = param_idx >= 0
-    return TransIndex(nbase, nstate, nparam, from_state, to_state, param_idx, allowed)
+    # Viterbi tie order (decode.c:960-995): move destinations iterate
+    # b2 ascending trying move then stay, all strict >, so priority is
+    # (move b2, stay b2) pairs in b2 order; stay destinations compare
+    # `stay > move`, so the MOVE wins ties.
+    tie_rank = np.full((nstate, nstate), RANK_BIG, dtype=np.int32)
+    for b1 in range(nbase):
+        for b2 in range(nbase):
+            if b1 == b2:
+                continue
+            tie_rank[b2, b1] = 2 * b2
+            tie_rank[nbase + b2, b1] = 2 * b2 + 1
+    for b in range(nbase):
+        tie_rank[b, nbase + b] = 0  # move preferred
+        tie_rank[nbase + b, nbase + b] = 1
+    return TransIndex(
+        nbase, nstate, nparam, from_state, to_state, param_idx, allowed, tie_rank
+    )
 
 
 def dense_from_params(p, idx: TransIndex):
@@ -293,20 +328,26 @@ def crf_viterbi_forward(trans, nblocks, nbase: int, idx: TransIndex | None = Non
     """Max-plus forward pass.
 
     Returns (score [B], last_state [B], backptr [B, T, nstate] int8).
-    Ties broken toward the lowest from-state index, as in the C loops
-    (strict > comparison scanning from from_state 0 upward).
+    Ties are broken exactly as the reference decode loops do
+    (idx.tie_rank): lowest from-state for flip destinations, the stay
+    for flop destinations (decode.c:153-180), and the RLE orders for
+    the run-length model (decode.c:960-995).
     """
     idx = idx if idx is not None else flipflop_index(nbase)
     B, T, _ = trans.shape
     nstate = idx.nstate
     a0 = jnp.zeros((B, nstate), trans.dtype)
     dense = dense_from_params(trans, idx)
+    rank = jnp.asarray(idx.tie_rank)  # [from, to]
 
     def step(alpha, inp):
         m, valid = inp
         scores = alpha[:, :, None] + m  # [B, from, to]
         best = jnp.max(scores, axis=1)
-        bp = jnp.argmax(scores, axis=1).astype(jnp.int8)
+        masked_rank = jnp.where(
+            scores == best[:, None, :], rank[None], RANK_BIG
+        )
+        bp = jnp.argmin(masked_rank, axis=1).astype(jnp.int8)
         alpha_next = jnp.where(valid[:, None], best, alpha)
         # backpointer for padded blocks: stay in place (identity)
         bp = jnp.where(
@@ -319,7 +360,8 @@ def crf_viterbi_forward(trans, nblocks, nbase: int, idx: TransIndex | None = Non
         from .crf_pallas import viterbi_scan_pallas
 
         alphas, bps = viterbi_scan_pallas(
-            jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1)
+            jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1),
+            tie_rank=idx.tie_rank,
         )
         # the state freezes on padded steps, so the last row equals the
         # scan path's final carry
@@ -458,4 +500,8 @@ def trace_from_posterior(tpost, nbase: int, idx: TransIndex | None = None):
     first = tpost[:, 0] @ from_onehot  # occupancy before block 0
     rest = tpost @ to_onehot  # occupancy after each block
     occ = jnp.concatenate([first[:, None], rest], axis=1)
-    return jnp.round(255.0 * occ).astype(jnp.uint8)
+    # roundf = half away from zero for the non-negative occupancies
+    # (jnp.round is half-to-even and would flip exact .5 bytes);
+    # clipped because viterbi-mode traces exponentiate unnormalised
+    # weights, where the C stores the int unclamped in an int matrix
+    return jnp.clip(jnp.floor(255.0 * occ + 0.5), 0.0, 255.0).astype(jnp.uint8)

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -69,7 +70,7 @@ def _fwd_kernel(S, x_ref, v_ref, out_ref, a_ref):
     a_ref[:] = lax.fori_loop(0, K, step, a_ref[:], unroll=True)
 
 
-def _viterbi_kernel(S, x_ref, v_ref, alpha_out, bp_out, a_ref):
+def _viterbi_kernel(S, x_ref, v_ref, rank_ref, alpha_out, bp_out, a_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -77,17 +78,26 @@ def _viterbi_kernel(S, x_ref, v_ref, alpha_out, bp_out, a_ref):
         a_ref[:] = jnp.zeros_like(a_ref)
 
     K = x_ref.shape[0]
+    RANK_BIG = 10**6
+    rank_rows = [rank_ref[f][None, :] for f in range(S)]
 
     def step(k, a):
         rows = _row_slices(x_ref[k], S)
-        best = a[:, 0][:, None] + rows[0]
-        # backpointers tracked in int32: int8 vregs tile (32, 128) and
-        # Mosaic cannot relayout the f32-tiled i1 compare mask onto them
+        zs = [a[:, f][:, None] + rows[f] for f in range(S)]
+        best = zs[0]
+        for z in zs[1:]:
+            best = jnp.maximum(best, z)
+        # backpointer = from-state whose score equals best with the
+        # lowest tie_rank, matching the reference decode loops' strict->
+        # candidate orders (see crf.TransIndex.tie_rank); tracked int32
+        # (int8 vregs tile (32, 128) and Mosaic cannot relayout the
+        # f32-tiled i1 compare mask onto them)
+        minrank = jnp.full(best.shape, RANK_BIG, jnp.int32)
         bp = jnp.zeros(best.shape, dtype=jnp.int32)
-        for f in range(1, S):
-            z = a[:, f][:, None] + rows[f]
-            better = z > best  # strict: first max wins, as jnp.argmax
-            best = jnp.where(better, z, best)
+        for f in range(S):
+            rf = jnp.where(zs[f] == best, rank_rows[f], RANK_BIG)
+            better = rf < minrank
+            minrank = jnp.where(better, rf, minrank)
             bp = jnp.where(better, f, bp)
         vf = v_ref[k][:, None].astype(jnp.float32)
         a = vf * best + (1.0 - vf) * a
@@ -164,21 +174,28 @@ def fwd_scan_pallas(dense_tm, valid_tm, interpret=None):
     return out[:T]
 
 
-def viterbi_scan_pallas(dense_tm, valid_tm, interpret=None):
-    """Max-plus forward: returns (alphas [T, B, S], backptr [T, B, S] int8)."""
+def viterbi_scan_pallas(dense_tm, valid_tm, tie_rank=None, interpret=None):
+    """Max-plus forward: returns (alphas [T, B, S], backptr [T, B, S] int8).
+
+    tie_rank: [S, S] int array (see crf.TransIndex.tie_rank); defaults
+    to lowest-from-index priority."""
     if interpret is None:
         interpret = _use_interpret()
     K = TIME_BLOCK
     T0, B, S, _ = dense_tm.shape
+    if tie_rank is None:
+        tie_rank = np.tile(np.arange(S, dtype=np.int32)[:, None], (1, S))
     dense_tm = dense_tm.reshape(T0, B, S * S)
     valid_tm = valid_tm.astype(jnp.int32)
     (dense_tm, valid_tm), T, Tp = _pad_time([dense_tm, valid_tm], K)
+    rank_arr = jnp.asarray(np.asarray(tie_rank, dtype=np.int32))
     alphas, bps = pl.pallas_call(
         functools.partial(_viterbi_kernel, S),
         grid=(Tp // K,),
         in_specs=[
             pl.BlockSpec((K, B, S * S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((K, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -190,7 +207,7 @@ def viterbi_scan_pallas(dense_tm, valid_tm, interpret=None):
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=interpret,
-    )(dense_tm, valid_tm)
+    )(dense_tm, valid_tm, rank_arr)
     return alphas[:T], bps[:T].astype(jnp.int8)
 
 

@@ -85,7 +85,7 @@ def extract_chunks(seg: np.ndarray, plan: ChunkPlan) -> Tuple[np.ndarray, np.nda
     return out, lengths
 
 
-def stitch_trans(trans_chunks: np.ndarray, chunk_nblocks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
+def stitch_trans(trans_chunks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
     """Per-chunk transition weights [N, TB, P] -> full read [nblocks, P].
 
     Chunk i contributes global blocks [cuts[i], cuts[i+1]); its local

@@ -135,8 +135,13 @@ def trim_raw_by_mad(rt: RawTable, chunk_size: int, perc: float) -> RawTable:
         # Shorter than one chunk: nothing to measure (the C code hits
         # undefined behaviour here; we propagate an invalid read).
         return RawTable(rt.uuid, rt.n, 0, 0, None)
-    # Truncation of end to be consistent with Sloika (reference quirk)
-    end = nchunk * chunk_size
+    # Truncation of end to be consistent with Sloika (reference quirk).
+    # The C writes `rt.end = nchunk * chunk_size` (flappie_common.c:54)
+    # without adding rt.start - a latent bug that never fires there
+    # because read_raw always yields start == 0.  For pre-windowed
+    # reads the obvious generalisation (offset by the window start,
+    # identical when start == 0) is used; the native path agrees.
+    end = rt.start + nchunk * chunk_size
     start = rt.start
 
     madarr = np.empty(nchunk, dtype=F32)

@@ -63,3 +63,39 @@ def test_native_delta_mode(raw_pA):
     rt2 = RawTable("u", raw_pA.size, 0, raw_pA.size, raw_pA.copy())
     got = native.preprocess_batch([rt2], delta=1.5)[0]
     np.testing.assert_array_equal(got.active(), want.active())
+
+
+def test_preprocess_batch_does_not_mutate_inputs_and_honours_window():
+    """Both paths must leave the caller's arrays untouched and process
+    only the read's [start, end) window, with identical absolute
+    results."""
+    import flappie_tpu.native as native
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.preprocess import RawTable
+
+    raw = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    unit = np.float32(1373.41) / np.float32(8192.0)
+    pa = ((raw + np.float32(16.0)) * unit).astype(np.float32)
+    # pre-windowed read: only [5000, 20000) is active
+    rt = RawTable("w", pa.size, 5000, 20000, pa.copy())
+    orig = pa.copy()
+
+    results = {}
+    for tag, force_numpy in (("native", False), ("numpy", True)):
+        if force_numpy:
+            saved = native._lib, native._tried
+            native._lib, native._tried = None, True
+        try:
+            got = native.preprocess_batch([RawTable("w", pa.size, 5000, 20000, pa.copy())])[0]
+        finally:
+            if force_numpy:
+                native._lib, native._tried = saved
+        if tag == "native" and not native.available():
+            return  # library unavailable: numpy-only environment
+        results[tag] = got
+
+    np.testing.assert_array_equal(pa, orig)  # inputs untouched
+    a, b = results["native"], results["numpy"]
+    assert (a.n, a.start, a.end) == (b.n, b.start, b.end)
+    assert 5000 <= a.start < a.end <= 20000
+    np.testing.assert_array_equal(a.active(), b.active())

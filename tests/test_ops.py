@@ -374,3 +374,52 @@ def test_crf_pallas_scans_match_scan_impl(monkeypatch):
     assert np.array_equal(np.asarray(want_v[1]), np.asarray(got_v[1]))  # paths
     q_w, q_g = np.asarray(want_v[2]), np.asarray(got_v[2])
     np.testing.assert_allclose(q_w[:, 1:], q_g[:, 1:], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_viterbi_tie_break_matches_reference(monkeypatch, force_pallas):
+    """Exact score ties must resolve as the C decode loops do
+    (decode.c:153-180): flop destinations keep the STAY, flip
+    destinations the lowest from-state.  Real models hit exact ties
+    when the tanh output head saturates."""
+    import flappie_tpu.ops.crf as crf_mod
+
+    if force_pallas:
+        monkeypatch.setattr(crf_mod, "_use_pallas", lambda: True)
+    nbase, nstate = 4, 8
+    nparam = 40
+    T = 1
+    trans = np.full((1, T, nparam), -5.0, np.float32)
+    # block 0 starts from alpha = 0 everywhere, so equal transition
+    # weights produce exact ties.
+    off = nbase * nstate
+    trans[0, 0, off + 0] = 1.0          # move flip0 -> flop0
+    trans[0, 0, off + nbase + 0] = 1.0  # stay flop0 -> flop0 (tie)
+    trans[0, 0, 0 * nstate + 2] = 2.0   # into flip0 from state 2
+    trans[0, 0, 0 * nstate + 5] = 2.0   # into flip0 from state 5 (tie)
+    _, last, backptr = crf_mod.crf_viterbi_forward(
+        jnp.asarray(trans), jnp.asarray([T]), nbase
+    )
+    bp = np.asarray(backptr)[0, 0]
+    assert bp[nbase + 0] == nbase + 0, "flop tie must keep the stay"
+    assert bp[0] == 2, "flip tie must keep the lowest from-state"
+
+
+def test_rle_viterbi_tie_break_matches_reference():
+    """RLE stay destinations prefer the MOVE on exact ties
+    (decode.c:981-995: `if (stay_score > move_score)`)."""
+    import flappie_tpu.ops.crf as crf_mod
+
+    nbase = 4
+    idx = crf_mod.rle_index(nbase)
+    T = 1
+    trans = np.full((1, T, idx.nparam), -5.0, np.float32)
+    # to = stay of base 1 (state 5): set move (from 1) == stay (from 5)
+    move_p = idx.param_idx[1, nbase + 1]
+    stay_p = idx.param_idx[nbase + 1, nbase + 1]
+    trans[0, 0, move_p] = 1.5
+    trans[0, 0, stay_p] = 1.5
+    _, _, backptr = crf_mod.crf_viterbi_forward(
+        jnp.asarray(trans), jnp.asarray([T]), nbase, idx=idx
+    )
+    assert np.asarray(backptr)[0, 0, nbase + 1] == 1, "RLE stay tie must keep the move"
