@@ -126,7 +126,9 @@ def make_ctc_train_step(cfg, optimizer=None):
     optimizer = optimizer if optimizer is not None else optax.adam(1e-4)
 
     def loss_fn(params, signal, lengths, states, target_lengths):
-        trans, nblocks = transitions(params, cfg, signal, lengths)
+        # scan recurrence: the fused Pallas kernels are inference-only
+        # (no VJP rule), see train/trainer.py
+        trans, nblocks = transitions(params, cfg, signal, lengths, rnn_impl="scan")
         nll = flipflop_ctc_nll(trans, nblocks, states, target_lengths, cfg.nbase)
         return jnp.mean(nll / jnp.maximum(nblocks, 1).astype(trans.dtype))
 
