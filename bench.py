@@ -18,60 +18,34 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import numpy as np
+
+from bench_common import build_batches, pipelined_epoch
 
 
 def main() -> int:
     import jax
 
     from flappie_tpu.basecall import Basecaller
-    from flappie_tpu.io.crp import read_crp
 
     B = 64
     T = 65536
     iters = 6
 
     caller = Basecaller("r941_native", seed=0, compute_trace=False, viterbi_only=False)
-
-    # Real signal, tiled and jittered; several distinct batches so any
-    # execution caching in the device path cannot shortcut the work
-    sig = read_crp("/root/reference/src/test/normalised_signal.crp").reshape(-1)
-    rng = np.random.default_rng(0)
-    batches = []
-    for k in range(3):
-        batch = np.zeros((B, T), np.float32)
-        lengths = np.zeros(B, np.int32)
-        for b in range(B):
-            reps = int(np.ceil(T / sig.size))
-            row = np.tile(sig, reps)[:T]
-            row += rng.normal(0, 0.05, size=row.shape).astype(np.float32)
-            batch[b] = row
-            lengths[b] = T - rng.integers(0, 5000)
-        batches.append((batch, lengths))
+    batches = build_batches(B, T)
 
     # Warm up (compile)
     out = caller.call_batch(*batches[0])
     del out
 
-    def epoch():
-        t0 = time.perf_counter()
-        total_samples = 0
-        pending = None
-        for i in range(iters):
-            batch, lengths = batches[i % len(batches)]
-            out = caller.call_batch_device(batch, lengths)
-            if pending is not None:  # materialise one batch behind the dispatch
-                _ = [np.asarray(x) for x in pending]
-            pending = out
-            total_samples += int(lengths.sum())
-        _ = [np.asarray(x) for x in pending]
-        return total_samples / (time.perf_counter() - t0)
-
     # The chip may be time-shared (and the first epoch can still hit
     # cold caches); report the best of two steady-state epochs.
-    epochs = [epoch(), epoch()]
+    epochs = [
+        pipelined_epoch(caller.call_batch_device, batches, iters)
+        for _ in range(2)
+    ]
     sps = max(epochs)
 
     # Host-side throughput context (not part of the JSON contract)

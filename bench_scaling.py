@@ -6,9 +6,11 @@ the process sees:
 - one real TPU chip -> the single-chip number (same work as bench.py);
 - a multi-chip host / pod slice -> reads shard over the mesh data axis
   (weights replicated), reported per device and aggregate;
-- multi-host: run one process per host under jax.distributed
-  (flappie_tpu.parallel.pipeline.init_distributed) and pass
-  --global-batch; each host feeds its process_index-strided shard.
+- multi-host: measuring across hosts needs one process per host under
+  jax.distributed (flappie_tpu.parallel.pipeline.init_distributed) and
+  host-local-to-global array conversion when feeding shards (see
+  tests/distributed_worker.py for the pattern); this script itself
+  measures single-process meshes.
 
 With no real multi-chip hardware, the mechanics can be validated on a
 virtual mesh: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
@@ -23,15 +25,15 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
+
+from bench_common import build_batches, pipelined_epoch
 
 
 def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
     import jax
 
-    from flappie_tpu.io.crp import read_crp
     from flappie_tpu.parallel.mesh import make_mesh
     from flappie_tpu.parallel.pipeline import DistributedBasecaller
 
@@ -40,37 +42,16 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
         "r941_native", seed=0, compute_trace=False, mesh=mesh
     )
     B = per_device_batch * n_data
-
-    sig = read_crp("/root/reference/src/test/normalised_signal.crp").reshape(-1)
-    rng = np.random.default_rng(0)
-    row = np.tile(sig, int(np.ceil(T / sig.size)))[:T]
-    batches = []
-    for _ in range(2):
-        batch = np.tile(row, (B, 1)) + rng.normal(0, 0.05, size=(B, T)).astype(
-            np.float32
-        )
-        lengths = (T - rng.integers(0, min(5000, T // 2), size=B)).astype(np.int32)
-        batches.append((batch.astype(np.float32), lengths))
+    batches = build_batches(B, T, n_batches=2)
 
     caller.call_batch(*batches[0])  # compile + warm
-    t0 = time.perf_counter()
-    total = 0
-    pending = None
-    for i in range(iters):
-        sigb, lens = batches[i % 2]
-        out = caller.call_batch_device(sigb, lens)
-        if pending is not None:
-            _ = [np.asarray(x) for x in pending]
-        pending = out
-        total += int(lens.sum())
-    _ = [np.asarray(x) for x in pending]
-    dt = time.perf_counter() - t0
+    sps = pipelined_epoch(caller.call_batch_device, batches, iters)
     return {
         "metric": "signal_samples_per_second",
-        "value": round(total / dt, 1),
+        "value": round(sps, 1),
         "unit": "samples/s",
         "n_devices": n_data,
-        "per_device": round(total / dt / n_data, 1),
+        "per_device": round(sps / n_data, 1),
         "batch": B,
         "T": T,
         "backend": jax.default_backend(),

@@ -116,10 +116,12 @@ class Basecaller:
         """Dispatch one batch; returns device arrays without blocking
         (JAX async dispatch), so callers can pipeline host work and
         device->host transfers against the next batch's compute."""
+        if not isinstance(lengths, jax.Array):
+            lengths = jnp.asarray(np.asarray(lengths, np.int32))
         return _device_basecall(
             self.params,
             jnp.asarray(signals),
-            jnp.asarray(np.asarray(lengths, np.int32)),
+            lengths,
             self.cfg,
             self.temperature,
             self.viterbi_only,
@@ -231,6 +233,9 @@ class Basecaller:
 
         if rt.raw is None:
             return None
+        from dataclasses import replace as _replace
+
+        rt = _replace(rt, raw=rt.raw.copy())  # never mutate caller data
         rt = trim_and_segment(rt, **trim_kw) if trim_kw else trim_and_segment(rt)
         if not rt.valid:
             return None

@@ -77,8 +77,9 @@ def _viterbi_kernel(S, x_ref, v_ref, rank_ref, alpha_out, bp_out, a_ref):
     def _():
         a_ref[:] = jnp.zeros_like(a_ref)
 
+    from .crf import RANK_BIG
+
     K = x_ref.shape[0]
-    RANK_BIG = 10**6
     rank_rows = [rank_ref[f][None, :] for f in range(S)]
 
     def step(k, a):
@@ -178,7 +179,9 @@ def viterbi_scan_pallas(dense_tm, valid_tm, tie_rank=None, interpret=None):
     """Max-plus forward: returns (alphas [T, B, S], backptr [T, B, S] int8).
 
     tie_rank: [S, S] int array (see crf.TransIndex.tie_rank); defaults
-    to lowest-from-index priority."""
+    to lowest-from-index priority.  Note: only alphas[-1] is consumed
+    by the caller; emitting the full array costs an extra [T, B, S]
+    HBM stream that a final-carry-only output would avoid."""
     if interpret is None:
         interpret = _use_interpret()
     K = TIME_BLOCK
