@@ -113,6 +113,12 @@ def _ref_edge_fix(out, x, W, b, stride: int, lengths):
         jnp.where(in_right[..., None], val_right.astype(out.dtype), bias_only),
     )
 
+    # Degenerate reads (n < winlen): the reference's size_t arithmetic
+    # underflows there (its own behaviour is undefined), so the
+    # "reference-exact" claim only holds for n >= winlen; keep the
+    # mathematical same-conv for such reads instead of emulating UB.
+    new = jnp.where((n[:, None] >= winlen)[..., None], new, existing)
+
     # scatter back; invalid cols (c < 0) are sent out of bounds and dropped
     target = jnp.where(c >= 0, c, Tout + 1)
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -124,6 +130,9 @@ def conv1d_same(x, W, b, stride: int, lengths=None):
 
     ``lengths`` ([B] int32, valid input cols; defaults to T) is required
     for reference-exact right-edge behaviour when winlen % stride != 0.
+    Reference-exactness assumes ``lengths >= winlen``: below that the
+    reference's own size_t index arithmetic underflows (undefined
+    behaviour), so such reads keep the mathematical same-conv output.
 
     Returns [B, ceil(T/stride), C_out].
     """

@@ -25,14 +25,24 @@ signals = st.lists(
 @settings(max_examples=200, deadline=None)
 def test_quantile_matches_c_formulation(x, p):
     """quantile_f32 must equal the reference's qsort-based formulation
-    (util.c:100-138): linear interpolation on the sorted array in f32."""
+    (util.c:100-138): float32 index/remainder, then the interpolation
+    (1-rem)*lo + rem*hi with double intermediates, stored to float32.
+    The model here mirrors that formulation exactly, so equality is
+    exact (a one-sided f32 lerp model differs by catastrophic
+    cancellation near zero and is the wrong side)."""
     got = pp.quantile_f32(x, p)
     xs = np.sort(x.copy())
-    idx = p * f32(x.size - 1)
-    lo = int(np.floor(idx))
-    hi = int(np.ceil(idx))
-    want = f32(xs[lo] + (xs[hi] - xs[lo]) * f32(idx - lo))
-    assert got == want or abs(got - want) <= abs(want) * 1e-6
+    prod = f32(p) * f32(x.size - 1)
+    idx = int(prod)
+    rem = np.float64(prod - f32(idx))
+    if idx < x.size - 1:
+        want = f32(
+            (np.float64(1.0) - rem) * np.float64(xs[idx])
+            + rem * np.float64(xs[idx + 1])
+        )
+    else:
+        want = xs[idx]
+    assert got == want
 
 
 @given(signals)

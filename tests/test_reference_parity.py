@@ -19,6 +19,14 @@ tests/ref_harness/cblas.h):
 - transition weights: |delta| < 5e-5 (values span roughly ±6);
 - trace bytes: within ±1 count (of 255).
 
+This suite runs on CPU XLA (conftest).  On real TPU hardware the
+transcendental ulp differences widen the transition band to ~4e-4
+(ops/precision.py) and can in principle flip a quality byte exactly at
+a roundf half-way boundary in phred_from_qpath.  Measured on v5e
+(tools/tpu_phred_check.py, dense 2e6-point sweep): 12 points flip by
+exactly -1 -- the TPU quality-byte contract is |delta| <= 1 at a rate
+< 1e-5, certified on hardware by that script via the verify skill.
+
 Observed at generation time: 5 of 7 flip-flop cases were byte-identical
 including the score; every sequence/quality byte matched.
 """
