@@ -152,16 +152,32 @@ def _lse(x, axis):
 CRF_TIME_BLOCK = 16
 
 
-def _use_pallas() -> bool:
-    """Opt-in (FLAPPIE_TPU_CRF_IMPL=pallas): run the time scans as the
-    Pallas kernels in ops/crf_pallas.py.  Measured on v5e they match
-    the blocked lax.scan (110 vs 105 ms for a full fb+viterbi decode at
-    B=64, T=13k) - the decode is bound by the dense [B,T,S,S] streaming
-    rather than scan overhead once the scan is 16-step blocked - so the
-    scan stays the default (and the parity/numerical reference)."""
+def _impl() -> str:
+    """CRF scan implementation (FLAPPIE_TPU_CRF_IMPL):
+
+    - ``scan`` - sequential blocked lax.scan: the parity/numerical
+      reference (bit-matches the C oracle's formulation order).
+    - ``seg``  - two-level segmented scans (ops/crf_seg.py): serial
+      depth L + T/L instead of T; the production fast path.  Results
+      agree with ``scan`` to float32 reassociation ulps (~1e-6 rel),
+      NOT bitwise.
+    - ``pallas`` - opt-in time-scan kernels (ops/crf_pallas.py);
+      measured on v5e they only match the blocked scan (the sequential
+      decode is latency-bound, not kernel-bound).
+    - ``auto`` (default) - ``seg`` on TPU, ``scan`` elsewhere (CPU CI
+      and the golden suites exercise the parity path; real hardware
+      gets the fast path).
+    """
     import os
 
-    return os.environ.get("FLAPPIE_TPU_CRF_IMPL") == "pallas"
+    v = os.environ.get("FLAPPIE_TPU_CRF_IMPL", "auto")
+    if v == "auto":
+        return "seg" if jax.default_backend() == "tpu" else "scan"
+    return v
+
+
+def _use_pallas() -> bool:
+    return _impl() == "pallas"
 
 
 def _scan_blocked(step, init, xs, K: int = CRF_TIME_BLOCK):
@@ -225,17 +241,22 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return alpha, alpha
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]  # [B, T]
-    if _use_pallas():
+    if _impl() == "seg":
+        from .crf_seg import seg_forward_states
+
+        alphas = seg_forward_states(dense, nblocks)
+    elif _use_pallas():
         from .crf_pallas import fwd_scan_pallas
 
         alphas = fwd_scan_pallas(
             jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1)
         )
+        alphas = jnp.concatenate([a0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1)
     else:
         _, alphas = _scan_blocked(
             step, a0, (jnp.swapaxes(dense, 0, 1), jnp.swapaxes(tvalid, 0, 1))
         )
-    alphas = jnp.concatenate([a0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1)
+        alphas = jnp.concatenate([a0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1)
     final = jnp.take_along_axis(
         alphas, nblocks[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
@@ -265,6 +286,10 @@ def crf_backward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return beta, beta
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
+    if _impl() == "seg":
+        from .crf_seg import seg_backward_states
+
+        return seg_backward_states(dense, nblocks)
     # scan over reversed time
     if _use_pallas():
         from .crf_pallas import fwd_scan_pallas
@@ -356,6 +381,15 @@ def crf_viterbi_forward(trans, nblocks, nbase: int, idx: TransIndex | None = Non
         return alpha_next, bp
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
+    if _impl() == "seg":
+        from .crf_seg import seg_backptr, seg_viterbi_states
+
+        alphas = seg_viterbi_states(dense, nblocks)
+        backptr = seg_backptr(alphas, dense, nblocks, idx.tie_rank, RANK_BIG)
+        final = alphas[:, -1]  # frozen at each read's own nblocks
+        score = jnp.max(final, axis=-1)
+        last_state = jnp.argmax(final, axis=-1).astype(jnp.int32)
+        return score, last_state, backptr
     if _use_pallas():
         from .crf_pallas import viterbi_scan_pallas
 
@@ -394,6 +428,12 @@ def viterbi_traceback(backptr, last_state, nblocks):
         return state, state
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]
+    if _impl() == "seg":
+        from .crf_seg import seg_traceback
+
+        # backptr is the identity map at invalid steps (both producers
+        # guarantee it), so no separate valid gating is needed
+        return seg_traceback(backptr, last_state.astype(jnp.int32), nblocks)
     if _use_pallas():
         from .crf_pallas import traceback_pallas
 

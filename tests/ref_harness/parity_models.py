@@ -16,13 +16,17 @@ float32 values by construction.
 
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 
 from flappie_tpu.models.config import MODELS, ConvSpec, ModelConfig
 from flappie_tpu.models.params import init_synthetic
 
 SEED = 1234
-HID = 64
+# Default width 64 keeps the generated C headers small; the H=256
+# production-width oracle build (baseline timing + the h256 parity
+# golden) sets FLAPPIE_TPU_PARITY_HID=256.
+HID = int(os.environ.get("FLAPPIE_TPU_PARITY_HID", "64"))
 
 _CONVS5 = (
     ConvSpec(winlen=5, in_ch=1, out_ch=4, stride=1, activation="swish"),
