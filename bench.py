@@ -1,11 +1,16 @@
 """Benchmark: r941_native basecalling throughput on one chip.
 
-Measures the full device pipeline (network forward + CRF
-forward-backward + Viterbi with traceback) on batches built from the
-bundled real signal fixture, steady-state, and prints ONE JSON line:
+Measures the production chunked pipeline (reads split into overlapping
+fixed-shape chunks batched across reads; fused network forward + CRF
+forward-backward + Viterbi per chunk with owned-range score sums --
+flappie_tpu/basecall.py) on batches built from the bundled real signal
+fixture, steady-state, and prints ONE JSON line:
 
     {"metric": "signal_samples_per_second", "value": N,
      "unit": "samples/s", "vs_baseline": N / baseline}
+
+Samples are counted once per READ (overlap recompute is honest
+overhead, not throughput).
 
 Baseline: MEASURED single-core CPU reference flappie at production
 width H=256 (see BASELINE_MEASURED.json: the reference's own C
@@ -14,10 +19,8 @@ naive BLAS shim; granting it the core's measured single-thread
 OpenBLAS rates gives an upper estimate of 20,800 samples/s, which is
 the denominator used here -- conservative for us).
 
-Also reports MFU: the model costs ~1.08 MFLOP/sample at H=256
-(per 5-sample block: 5 LSTM layers x (input affine + recurrent matmul)
-2x[256,1024] + conv stack + head), against the v5e bf16 peak of
-197 TFLOP/s.
+Also reports MFU: the model costs ~1.08 MFLOP/sample at H=256, against
+the v5e bf16 peak of 197 TFLOP/s.
 """
 
 from __future__ import annotations
@@ -33,12 +36,64 @@ from bench_common import build_batches, pipelined_epoch
 FLOP_PER_SAMPLE = 1.08e6
 V5E_PEAK_FLOPS = 197e12
 
+CHUNK, OVERLAP, CB = 12800, 1600, 128
+
 
 def _baseline_sps() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
     with open(path) as fh:
         return float(json.load(fh)["baseline_samples_per_second"])
+
+
+def build_chunk_batches(caller, batches):
+    """Explode [B, T] read batches into [CB, CHUNK] chunk batches.
+
+    Returns (chunk_batches, samples_per_epoch): each chunk batch is the
+    (sig, lengths, qlo, qhi) numpy tuple call_chunk_batch_device takes.
+    """
+    from flappie_tpu.parallel.chunking import chunk_records, plan_chunks
+
+    stride = caller.cfg.total_stride
+    out = []
+    total = 0
+    jobs = []
+    for sig, lengths in batches:
+        for b in range(sig.shape[0]):
+            n = int(lengths[b])
+            total += n
+            plan = plan_chunks(n, stride, CHUNK, OVERLAP)
+            for r in chunk_records(plan):
+                jobs.append((sig[b], r))
+    for ofs in range(0, len(jobs), CB):
+        sl = jobs[ofs : ofs + CB]
+        s = np.zeros((CB, CHUNK), np.float32)
+        ln = np.full(CB, stride, np.int32)
+        qlo = np.zeros(CB, np.int32)
+        qhi = np.zeros(CB, np.int32)
+        for j, (row, r) in enumerate(sl):
+            s[j, : r.length] = row[r.start : r.start + r.length]
+            ln[j] = r.length
+            qlo[j] = r.qlo
+            qhi[j] = r.qhi
+        out.append((s, ln, qlo, qhi))
+    return out, total
+
+
+def chunked_epoch(caller, chunk_batches, samples: int, reps: int) -> float:
+    """Pipelined: dispatch one batch ahead of materialisation."""
+    import time
+
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(reps):
+        for batch in chunk_batches:
+            out = caller.call_chunk_batch_device(*batch)
+            if pending is not None:
+                _ = [np.asarray(x) for x in pending]
+            pending = out
+    _ = [np.asarray(x) for x in pending]
+    return samples * reps / (time.perf_counter() - t0)
 
 
 def main() -> int:
@@ -48,28 +103,28 @@ def main() -> int:
 
     B = 64
     T = 65536
-    iters = 6
+    reps = 2  # epoch repetitions over the 3 distinct read batches
 
-    caller = Basecaller("r941_native", seed=0, compute_trace=False, viterbi_only=False)
+    caller = Basecaller("r941_native", seed=0, compute_trace=False,
+                        viterbi_only=False, chunk=CHUNK, overlap=OVERLAP,
+                        chunk_batch=CB)
     batches = build_batches(B, T)
+    chunk_batches, samples = build_chunk_batches(caller, batches)
 
     # Warm up (compile)
-    out = caller.call_batch(*batches[0])
-    del out
+    _ = [np.asarray(x) for x in caller.call_chunk_batch_device(*chunk_batches[0])]
 
     # The chip may be time-shared (and the first epoch can still hit
     # cold caches); report the best of two steady-state epochs.
-    epochs = [
-        pipelined_epoch(caller.call_batch_device, batches, iters)
-        for _ in range(2)
-    ]
+    epochs = [chunked_epoch(caller, chunk_batches, samples, reps) for _ in range(2)]
     sps = max(epochs)
 
     baseline = _baseline_sps()
     mfu = sps * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
     reads_per_s = sps / T
     print(
-        f"# backend={jax.default_backend()} B={B} T={T} iters={iters} "
+        f"# backend={jax.default_backend()} B={B} T={T} chunk={CHUNK} "
+        f"overlap={OVERLAP} CB={CB} nbatches={len(chunk_batches)} "
         f"epochs={[round(e/1e6, 2) for e in epochs]} Msamples/s "
         f"reads/s={reads_per_s:.2f} "
         f"baseline={baseline:.0f} samples/s (measured, BASELINE_MEASURED.json) "

@@ -79,6 +79,34 @@ def _device_basecall_fwd(params, signal, lengths, cfg: ModelConfig, temperature:
     return transitions(params, cfg, signal, lengths, temperature, rnn_impl)
 
 
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_chunk(params, signal, lengths, qlo, qhi, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
+    """Fused forward + decode for the chunked production path.
+
+    Identical to _device_basecall except the returned score is the
+    masked sum of qpath over each chunk's OWNED local range [qlo, qhi)
+    -- its contribution to the read's path score -- so chunk scores sum
+    to the full-read score and nothing bigger than bytes ever leaves
+    the device.
+    """
+    from .ops.crf import crf_transpost, crf_viterbi, trace_from_posterior
+
+    trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
+    if viterbi_only:
+        mat = trans
+    else:
+        mat = crf_transpost(trans, nblocks, cfg.nbase, return_log=True)
+    _, path, qpath = crf_viterbi(mat, nblocks, cfg.nbase)
+    t = jnp.arange(qpath.shape[1])[None, :]
+    keep = (t >= qlo[:, None]) & (t < qhi[:, None])
+    score_part = jnp.sum(jnp.where(keep, qpath, 0.0), axis=1)
+    if compute_trace:
+        trace = trace_from_posterior(jnp.exp(mat), cfg.nbase)
+    else:
+        trace = jnp.zeros((trans.shape[0], 1, cfg.nstate), jnp.uint8)
+    return score_part, path.astype(jnp.int8), phred_from_qpath(qpath), nblocks, trace
+
+
 class Basecaller:
     """Batched basecaller for one model.
 
@@ -96,6 +124,9 @@ class Basecaller:
         compute_trace: bool = True,
         seed: int = 0,
         rnn_impl: str = "auto",
+        chunk: int = 12800,
+        overlap: int = 1600,
+        chunk_batch: int = 256,
     ):
         self.cfg = get_model_config(model) if isinstance(model, str) else model
         if params is None:
@@ -109,6 +140,15 @@ class Basecaller:
         self.viterbi_only = bool(viterbi_only)
         self.compute_trace = bool(compute_trace)
         self.rnn_impl = rnn_impl
+        # Chunked fast path (0 disables): reads longer than `chunk`
+        # samples are split into overlapping chunks batched through ONE
+        # fixed-shape device program and stitched at overlap midpoints
+        # (parallel/chunking.py).  Serial recurrence length becomes
+        # chunk/stride regardless of read length.
+        stride = self.cfg.total_stride
+        self.chunk = int(chunk) - int(chunk) % stride if chunk else 0
+        self.overlap = int(overlap)
+        self.chunk_batch = int(chunk_batch)
 
     # -- device side ------------------------------------------------------
 
@@ -170,6 +210,14 @@ class Basecaller:
         prepped = [(i, rt) for i, rt in enumerate(processed) if rt is not None]
         results: List[Optional[BasecallResult]] = [None] * len(reads)
 
+        # Production fast path: reads longer than one chunk go through
+        # the fixed-shape chunked program (length -> batch parallelism).
+        if self.chunk:
+            long_items = [(i, rt) for i, rt in prepped if rt.end - rt.start > self.chunk]
+            prepped = [(i, rt) for i, rt in prepped if rt.end - rt.start <= self.chunk]
+            if long_items:
+                self._basecall_chunked(long_items, results, reverse)
+
         # Group by bucket to keep shapes static; batch within bucket.
         by_bucket: dict = {}
         for i, rt in prepped:
@@ -209,6 +257,107 @@ class Basecaller:
 
     def basecall_read(self, rt: RawTable, **kw) -> Optional[BasecallResult]:
         return self.basecall_raw_tables([rt], **kw)[0]
+
+    # -- chunked production path -------------------------------------------
+
+    def call_chunk_batch_device(self, signals, lengths, qlo, qhi):
+        """Dispatch one [CB, chunk] chunk batch (fused forward+decode
+        with per-chunk owned-range score sums); non-blocking."""
+
+        def as_i32(x):
+            # keep already-placed (possibly sharded) device arrays as-is
+            return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x, np.int32))
+
+        return _device_basecall_chunk(
+            self.params,
+            jnp.asarray(signals),
+            as_i32(lengths),
+            as_i32(qlo),
+            as_i32(qhi),
+            self.cfg,
+            self.temperature,
+            self.viterbi_only,
+            self.compute_trace,
+            self.rnn_impl,
+        )
+
+    def _basecall_chunked(self, items, results, reverse: bool) -> None:
+        """Batch overlapping chunks of long reads ACROSS reads through
+        one fixed-shape program; stitch decoded paths at overlap
+        midpoints (see parallel/chunking.ChunkRecord)."""
+        from .parallel.chunking import chunk_records, plan_chunks
+
+        stride = self.cfg.total_stride
+        chunk_T = self.chunk
+        nstate = self.cfg.nstate
+
+        jobs = []  # (read index, ChunkRecord)
+        state: dict = {}
+        for i, rt in items:
+            seg = rt.active()
+            plan = plan_chunks(seg.size, stride, chunk_T, self.overlap)
+            recs = chunk_records(plan)
+            nb = plan.nblocks
+            state[i] = {
+                "rt": rt,
+                "seg": seg,
+                "nb": nb,
+                "remaining": len(recs),
+                "score": 0.0,
+                "path": np.zeros(nb + 1, np.int8),
+                "qchar": np.zeros(nb + 1, np.uint8),
+                "trace": (
+                    np.zeros((nb + 1, nstate), np.uint8)
+                    if self.compute_trace
+                    else None
+                ),
+            }
+            jobs.extend((i, r) for r in recs)
+
+        # Chunk-batch size: bounded by self.chunk_batch, bucketed so a
+        # handful of chunks does not pay for a full batch of padding.
+        CB = min(self.chunk_batch, bucket_length(len(jobs), 8))
+
+        def _dispatch(job_slice):
+            sig = np.zeros((CB, chunk_T), F32)
+            # dummy rows: a few valid samples, empty score range
+            lengths = np.full(CB, stride, np.int32)
+            qlo = np.zeros(CB, np.int32)
+            qhi = np.zeros(CB, np.int32)
+            for j, (i, r) in enumerate(job_slice):
+                sig[j, : r.length] = state[i]["seg"][r.start : r.start + r.length]
+                lengths[j] = r.length
+                qlo[j] = r.qlo
+                qhi[j] = r.qhi
+            return job_slice, self.call_chunk_batch_device(sig, lengths, qlo, qhi)
+
+        def _collect(job_slice, out):
+            score, path, qchar, _, trace = (np.asarray(x) for x in out)
+            for j, (i, r) in enumerate(job_slice):
+                st = state[i]
+                end = r.keep_hi + (1 if r.last else 0)  # fencepost entry
+                lo, g0 = r.keep_lo, r.g0
+                st["path"][lo:end] = path[j, lo - g0 : end - g0]
+                st["qchar"][lo:end] = qchar[j, lo - g0 : end - g0]
+                if st["trace"] is not None:
+                    st["trace"][lo:end] = trace[j, lo - g0 : end - g0]
+                st["score"] += float(score[j])
+                st["remaining"] -= 1
+                if st["remaining"] == 0:
+                    results[i] = self._assemble(
+                        st["rt"], st["score"], st["path"], st["qchar"],
+                        st["nb"], st["trace"], reverse,
+                    )
+                    state[i] = {"remaining": 0}  # free the buffers
+
+        pending = None
+        for ofs in range(0, len(jobs), CB):
+            dispatched = _dispatch(jobs[ofs : ofs + CB])
+            if pending is not None:
+                _collect(*pending)
+            pending = dispatched
+        if pending is not None:
+            _collect(*pending)
 
     # -- chunked long-read path --------------------------------------------
 

@@ -105,6 +105,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model weights (npz checkpoint); synthetic if omitted")
     p.add_argument("--batch", type=int, default=32, metavar="B",
                    help="Maximum device batch size")
+    p.add_argument("--chunk", type=int, default=12800, metavar="samples",
+                   help="Chunked fast path: reads longer than this are "
+                        "split into overlapping chunks batched through one "
+                        "fixed-shape device program and stitched at overlap "
+                        "midpoints (0 disables; the full-read serial path "
+                        "is the byte-parity reference)")
+    p.add_argument("--overlap", type=int, default=1600, metavar="samples",
+                   help="Chunk overlap; each stitched block sits at least "
+                        "overlap/2 samples from its chunk's edges")
+    p.add_argument("--chunk-batch", type=int, default=256, metavar="N",
+                   help="Maximum chunks per device batch on the chunked path")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="Shard device batches data-parallel over the first N "
+                        "local devices (0/1: single device).  Replaces the "
+                        "reference's `parallel -P N -X flappie` fan-out; for "
+                        "multi-host runs use python -m "
+                        "flappie_tpu.parallel.launch")
     p.add_argument("--multi", action="store_true", default=False,
                    help="Basecall every read in multi-read fast5 files "
                         "(the reference only reads the first)")
@@ -163,13 +180,33 @@ def main(argv=None) -> int:
     if args.limit > 0:
         files = files[: args.limit]
 
-    caller = Basecaller(
+    caller_kw = dict(
         model=args.model,
         checkpoint=args.checkpoint,
         temperature=args.temperature,
         viterbi_only=args.viterbi,
         compute_trace=args.trace is not None,
+        chunk=args.chunk,
+        overlap=args.overlap,
+        chunk_batch=args.chunk_batch,
     )
+    if args.mesh and args.mesh > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.pipeline import DistributedBasecaller
+
+        if args.mesh > len(jax.devices()):
+            print(
+                f"--mesh {args.mesh} exceeds the {len(jax.devices())} "
+                "visible devices", file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh(n_data=args.mesh, n_model=1,
+                         devices=jax.devices()[: args.mesh])
+        caller = DistributedBasecaller(mesh=mesh, **caller_kw)
+    else:
+        caller = Basecaller(**caller_kw)
 
     out = open(args.output, "w") if args.output else sys.stdout
 

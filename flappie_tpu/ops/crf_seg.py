@@ -12,11 +12,18 @@ or bandwidth.  Both semirings involved are associative:
 so the prefix state vectors can be computed with the classic two-level
 segmented scan: split time into G groups of L steps, (A) scan the
 group-local prefix *matrix* products in parallel over all groups -- L
-serial steps on [B*G, S, S] operands instead of T serial steps on
+serial steps on [B, S, S, G] operands instead of T serial steps on
 [B, S] -- then (B) combine the G group-final matrices serially (G ~=
 T/L tiny steps), and (C) recover every per-step state vector with one
-fully parallel vector x prefix-matrix product.  Serial depth drops from
-T to L + T/L (~= 2*sqrt(T) at the optimal L).
+fully parallel vector x prefix-matrix product.  Serial depth drops
+from T to L + T/L.
+
+Layout note (the perf-critical choice): the state dims are tiny (S=8
+or 10), so tensors ending in [..., S, S] waste 15/16 of every VPU
+register (the minor dim pads to the 128-lane width).  All hot
+intermediates here therefore keep the *group* axis G minor --
+[B, S, S, G] -- so lanes are fully populated and the S-dim broadcasts
+live on sublanes.
 
 Per-read validity is folded in by replacing invalid steps' transition
 matrices with the semiring identity (0 diagonal, -inf off-diagonal),
@@ -37,8 +44,6 @@ Reference semantics being accelerated: src/decode.c:119-204 (Viterbi),
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -88,13 +93,35 @@ def _scan_unrolled(step, init, xs, K: int = 8):
     return carry, ys.reshape((T,) + ys.shape[2:])
 
 
-def _prefix_vectors(dense_masked, v0, mm, vm, L: int = SEG_L):
+# -- semiring ops in lanes-minor layout [..., S, S, G] / [..., S, G] ------
+
+
+def _mm_lse(a, b):
+    # out[..., i, j, g] = lse_k a[..., i, k, g] + b[..., k, j, g]
+    return _lse(a[..., :, :, None, :] + b[..., None, :, :, :], axis=-3)
+
+
+def _vm_lse(v, m):
+    # out[..., j, g] = lse_k v[..., k, g] + m[..., k, j, g]
+    return _lse(v[..., :, None, :] + m, axis=-3)
+
+
+def _mm_max(a, b):
+    return jnp.max(a[..., :, :, None, :] + b[..., None, :, :, :], axis=-3)
+
+
+def _vm_max(v, m):
+    return jnp.max(v[..., :, None, :] + m, axis=-3)
+
+
+def _prefix_vectors(dense_masked, v0, mm, vm, vv, L: int = SEG_L):
     """All prefix state vectors of an associative semiring scan.
 
     dense_masked: [B, T, S, S] step matrices (identity at invalid steps)
     v0: [B, S] initial vector
-    mm(a, b): semiring matmul [..., S, S] x [..., S, S]
-    vm(v, m): semiring vec-mat [..., S] x [..., S, S]
+    mm(a, b): semiring matmul in [..., S, S, G] layout
+    vm(v, m): semiring vec-mat, [..., S, G] x [..., S, S, G]
+    vv(v, m): semiring vec-mat on plain [B, S] x [B, S, S] (phase B)
 
     Returns states [B, T, S] where states[:, t] is the vector after
     applying steps 0..t.
@@ -108,47 +135,40 @@ def _prefix_vectors(dense_masked, v0, mm, vm, L: int = SEG_L):
         )
         dense_masked = jnp.concatenate([dense_masked, pad], axis=1)
 
-    # [L, B, G, S, S]: scan over the within-group step index
-    m = dense_masked.reshape(B, G, L, S, S).transpose(2, 0, 1, 3, 4)
+    # [L, B, S, S, G]: scan over the within-group step index, G on lanes
+    m = dense_masked.reshape(B, G, L, S, S).transpose(2, 0, 3, 4, 1)
 
-    # Phase A: group-local prefix matrices, L serial steps over [B*G]
+    # Phase A: group-local prefix matrices, L serial steps over [B, G]
     def stepA(carry, mt):
         nxt = mm(carry, mt)
         return nxt, nxt
 
-    ident = jnp.broadcast_to(_identity_mat(S, m.dtype), (B, G, S, S))
-    finals, prefixes = _scan_unrolled(stepA, ident, m)  # [L, B, G, S, S]
+    ident = jnp.broadcast_to(
+        _identity_mat(S, m.dtype)[None, :, :, None], (B, S, S, G)
+    )
+    finals, prefixes = _scan_unrolled(stepA, ident, m)  # [L, B, S, S, G]
 
-    # Phase B: start vector of each group, G serial steps over [B, S]
+    # Phase B: start vector of each group, G serial steps on [B, S]
     def stepB(v, f):
-        return vm(v, f), v  # emit the vector *before* applying group g
+        return vv(v, f), v  # emit the vector *before* applying group g
 
-    _, starts = _scan_unrolled(
-        stepB, v0, finals.transpose(1, 0, 2, 3), K=1
-    )  # starts: [G, B, S]
+    fg = finals.transpose(3, 0, 1, 2)  # [G, B, S, S]
+    _, starts = _scan_unrolled(stepB, v0, fg, K=1)  # [G, B, S]
 
     # Phase C: fully parallel vector x prefix-matrix products
-    # prefixes: [L, B, G, S, S]; starts: [G, B, S]
-    sv = starts.transpose(1, 0, 2)[None]  # [1, B, G, S]
-    states = vm(sv, prefixes)  # [L, B, G, S]
-    states = states.transpose(1, 2, 0, 3).reshape(B, Tp, S)[:, :T]
+    sv = starts.transpose(1, 2, 0)[None]  # [1, B, S, G]
+    states = vm(sv, prefixes)  # [L, B, S, G]
+    states = states.transpose(1, 3, 0, 2).reshape(B, Tp, S)[:, :T]
     return states
 
 
-def _mm_lse(a, b):
-    return _lse(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+def _vv_lse(v, m):
+    # v: [B, S], m: [B, S, S] -> [B, S]
+    return _lse(v[:, :, None] + m, axis=1)
 
 
-def _vm_lse(v, m):
-    return _lse(v[..., :, None] + m, axis=-2)
-
-
-def _mm_max(a, b):
-    return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
-
-
-def _vm_max(v, m):
-    return jnp.max(v[..., :, None] + m, axis=-2)
+def _vv_max(v, m):
+    return jnp.max(v[:, :, None] + m, axis=1)
 
 
 def seg_forward_states(dense, nblocks):
@@ -156,7 +176,7 @@ def seg_forward_states(dense, nblocks):
     B, T, S, _ = dense.shape
     md = _masked_dense(dense, nblocks)
     v0 = jnp.zeros((B, S), dense.dtype)
-    states = _prefix_vectors(md, v0, _mm_lse, _vm_lse)
+    states = _prefix_vectors(md, v0, _mm_lse, _vm_lse, _vv_lse)
     return jnp.concatenate([v0[:, None], states], axis=1)
 
 
@@ -170,7 +190,7 @@ def seg_backward_states(dense, nblocks):
     md = _masked_dense(dense, nblocks)
     md_rev = jnp.flip(md, axis=1).swapaxes(-1, -2)
     v0 = jnp.zeros((B, S), dense.dtype)
-    states = _prefix_vectors(md_rev, v0, _mm_lse, _vm_lse)
+    states = _prefix_vectors(md_rev, v0, _mm_lse, _vm_lse, _vv_lse)
     return jnp.concatenate([v0[:, None], states], axis=1)[:, ::-1]
 
 
@@ -179,7 +199,7 @@ def seg_viterbi_states(dense, nblocks):
     B, T, S, _ = dense.shape
     md = _masked_dense(dense, nblocks)
     v0 = jnp.zeros((B, S), dense.dtype)
-    states = _prefix_vectors(md, v0, _mm_max, _vm_max)
+    states = _prefix_vectors(md, v0, _mm_max, _vm_max, _vv_max)
     return jnp.concatenate([v0[:, None], states], axis=1)
 
 
@@ -189,15 +209,18 @@ def seg_backptr(alphas, dense, nblocks, tie_rank, RANK_BIG=10**6):
     bp[b, t, to] = argmin-tie_rank over {from : alpha[t][from] +
     m[t][from, to] == max}, the exact formula of the sequential Viterbi
     step (so tie ORDER is identical; only value ulps can differ).
-    Invalid steps' identity matrices yield identity backpointers.
+    Computed in the lanes-minor [B, S, S, T] layout.
     """
     B, T, S, _ = dense.shape
     md = _masked_dense(dense, nblocks)
-    scores = alphas[:, :-1, :, None] + md  # [B, T, from, to]
-    best = jnp.max(scores, axis=2)
-    rank = jnp.asarray(tie_rank)[None, None]
-    masked_rank = jnp.where(scores == best[:, :, None, :], rank, RANK_BIG)
-    bp = jnp.argmin(masked_rank, axis=2).astype(jnp.int8)
+    md_t = md.transpose(0, 2, 3, 1)  # [B, from, to, T]
+    a_t = alphas[:, :-1].transpose(0, 2, 1)  # [B, from, T]
+    scores = a_t[:, :, None, :] + md_t  # [B, from, to, T]
+    best = jnp.max(scores, axis=1)  # [B, to, T]
+    rank = jnp.asarray(tie_rank)[None, :, :, None]
+    masked_rank = jnp.where(scores == best[:, None], rank, RANK_BIG)
+    bp = jnp.argmin(masked_rank, axis=1)  # [B, to, T] int32
+    bp = bp.transpose(0, 2, 1).astype(jnp.int8)  # [B, T, to]
     # Invalid steps: identity, set explicitly (the rank argmin cannot
     # recover it when tie_rank[to, to] is unset, e.g. RLE move states)
     valid = (jnp.arange(T)[None, :] < nblocks[:, None])[..., None]
@@ -214,7 +237,7 @@ def seg_traceback(backptr, last_state, nblocks, L: int = SEG_L):
     seg_backptr / the sequential step's masking).
     """
     B, T, S = backptr.shape
-    g = jnp.flip(backptr, axis=1)  # g[i] = backptr[T-1-i], maps s_{i} -> s_{i+1}
+    g = jnp.flip(backptr, axis=1)  # g[i] = backptr[T-1-i], maps s_i -> s_{i+1}
     G = -(-T // L)
     Tp = G * L
     if Tp != T:

@@ -85,6 +85,56 @@ def extract_chunks(seg: np.ndarray, plan: ChunkPlan) -> Tuple[np.ndarray, np.nda
     return out, lengths
 
 
+@dataclass(frozen=True)
+class ChunkRecord:
+    """One chunk's slice and ownership ranges (all block units global
+    unless noted).
+
+    The production chunked path decodes each chunk independently and
+    stitches the decoded *paths* at the overlap-midpoint cuts (the
+    standard long-read strategy modern basecallers use; the reference
+    instead scans whole reads serially, src/networks.c:557-580, which
+    is its scalability wall).  Each chunk owns global blocks
+    [keep_lo, keep_hi); the last chunk also provides the final
+    fencepost path entry.  [qlo, qhi) is the chunk-LOCAL qpath index
+    range whose sum is the chunk's contribution to the read score
+    (transitions into the owned blocks; global q index g maps to local
+    g - g0, and index 0 -- the reference's qpath[0]=NaN quirk -- is
+    never summed).
+    """
+
+    start: int  # first sample
+    length: int  # valid samples in this chunk
+    g0: int  # global block index of local block 0
+    keep_lo: int
+    keep_hi: int
+    qlo: int  # local
+    qhi: int  # local
+    last: bool
+
+
+def chunk_records(plan: ChunkPlan) -> List[ChunkRecord]:
+    recs = []
+    n = plan.nchunk
+    for i, s in enumerate(plan.starts):
+        g0 = s // plan.stride
+        last = i == n - 1
+        lo, hi = plan.cuts[i], plan.cuts[i + 1]
+        recs.append(
+            ChunkRecord(
+                start=s,
+                length=min(plan.chunk, plan.nsample - s),
+                g0=g0,
+                keep_lo=lo,
+                keep_hi=hi,
+                qlo=max(1, lo - g0),
+                qhi=hi - g0 + (1 if last else 0),
+                last=last,
+            )
+        )
+    return recs
+
+
 def stitch_trans(trans_chunks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
     """Per-chunk transition weights [N, TB, P] -> full read [nblocks, P].
 
