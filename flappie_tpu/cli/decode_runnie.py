@@ -29,10 +29,21 @@ def positive(mytype):
     return conv
 
 
+def _decode_one(job):
+    """Pool worker: (name, rows, rlc, shape, scale) -> (name, basecall)."""
+    name, rows, rlc, shape, scale = job
+    if rlc:
+        return name, rlc_basecall(rows)
+    return name, runlength_basecall(rows, shape, scale)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="decode_runnie")
     p.add_argument("--limit", default=None, type=positive(int),
                    help="Limit number of reads processed")
+    p.add_argument("--threads", "-t", default=1, type=positive(int),
+                   help="Number of worker processes "
+                        "(misc/decode_runnie.py:46-47)")
     p.add_argument("--rlc", default=False, action="store_true",
                    help="Call run-length compressed sequence")
     p.add_argument("--no-rlc", dest="rlc", action="store_false",
@@ -53,20 +64,33 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    n = 0
-    with open(args.file, "r") as fh:
+
+    def jobs(fh):
+        n = 0
         for name, rows in read_run_records(fh):
             if args.limit is not None and n >= args.limit:
                 break
             n += 1
-            if args.rlc:
-                basecall = rlc_basecall(rows)
-            else:
-                basecall = runlength_basecall(rows, args.shape, args.scale)
-            if basecall is None:
-                sys.stderr.write(f"No basecall returned for {name}\n")
-                continue
-            sys.stdout.write(wrap_fasta(name, basecall, args.width))
+            yield name, rows, args.rlc, args.shape, args.scale
+
+    def emit(name, basecall):
+        if basecall is None:
+            sys.stderr.write(f"No basecall returned for {name}\n")
+            return
+        sys.stdout.write(wrap_fasta(name, basecall, args.width))
+
+    with open(args.file, "r") as fh:
+        if args.threads > 1:
+            # worker Pool exactly like the reference
+            # (misc/decode_runnie.py:139); imap preserves input order
+            from multiprocessing import Pool
+
+            with Pool(args.threads) as pool:
+                for name, basecall in pool.imap(_decode_one, jobs(fh)):
+                    emit(name, basecall)
+        else:
+            for job in jobs(fh):
+                emit(*_decode_one(job))
     return 0
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..basecall import bucket_length
-from ..decode.runlength import rle_transpost, rle_viterbi, runs_from_path
+from ..decode.runlength import rle_transpost, rle_viterbi, runs_from_selected
 from ..io.run_format import write_run_record
 from ..models.config import get_model_config
 from ..models.network import transitions
@@ -31,11 +31,20 @@ MODEL = "rle_r941_native"
 
 @partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only"))
 def _device_runnie(params, signal, lengths, cfg, temperature, viterbi_only):
+    """Batched forward + RLE decode.
+
+    Only the path and the path-selected shape/scale weights leave the
+    device (~9 bytes/block) -- runs_from_selected rebuilds the .run
+    records from them bit-for-bit.
+    """
     out, nblocks = transitions(params, cfg, signal, lengths, temperature)
     if not viterbi_only:
         out = rle_transpost(out, nblocks, cfg.nbase)
     score, path = rle_viterbi(out, nblocks, cfg.nbase)
-    return out, nblocks, score, path
+    base = jnp.where(path < cfg.nbase, path, path - cfg.nbase)
+    shape_sel = jnp.take_along_axis(out, base[..., None], axis=-1)[..., 0]
+    scale_sel = jnp.take_along_axis(out, (cfg.nbase + base)[..., None], axis=-1)[..., 0]
+    return nblocks, score, path.astype(jnp.int8), shape_sel, scale_sel
 
 
 def build_parser():
@@ -57,6 +66,10 @@ def build_parser():
     p.add_argument("--uuid", dest="uuid", action="store_true", default=True)
     p.add_argument("--no-uuid", dest="uuid", action="store_false")
     p.add_argument("--checkpoint", default=None, metavar="npz")
+    p.add_argument("--batch", type=int, default=32, metavar="B",
+                   help="Maximum device batch size (the reference decodes "
+                        "one read per process; here reads bucket and batch "
+                        "through the engine like the flappie CLI)")
     return p
 
 
@@ -80,39 +93,66 @@ def main(argv=None) -> int:
     trim_start, trim_end = args.trim
     varseg_chunk, varseg_thresh = args.segmentation
 
+    # Preprocess every read, bucket by padded length, batch within
+    # bucket (the flappie-CLI execution model; the reference decodes
+    # one read per process).  Results are written in input order.
+    prepped = []  # (input position, rt)
+    order = []  # per input position: rt or None
     for fn in files:
         rt = read_raw(fn, scale_to_pA=True)
-        if rt.raw is None:
+        if rt.raw is not None:
+            rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
+        if rt.raw is None or not rt.valid:
             print(f"No basecall returned for {fn}", file=sys.stderr)
-            continue
-        rt = trim_and_segment(rt, trim_start, trim_end, varseg_chunk, varseg_thresh)
-        if not rt.valid:
-            print(f"No basecall returned for {fn}", file=sys.stderr)
+            order.append(None)
             continue
         normalise_signal(rt, args.delta)
-        seg = rt.active()
-        T = bucket_length(seg.size)
-        buf = np.zeros((1, T), np.float32)
-        buf[0, : seg.size] = seg
-        mat, nblocks, score, path = _device_runnie(
-            params,
-            jnp.asarray(buf),
-            jnp.asarray([seg.size], dtype=jnp.int32),
-            cfg,
-            args.temperature,
-            args.viterbi,
+        prepped.append((len(order), rt))
+        order.append(rt)
+
+    results = {}  # input position -> list[RunRecord]
+    by_bucket: dict = {}
+    for pos, rt in prepped:
+        by_bucket.setdefault(bucket_length(rt.active().size), []).append((pos, rt))
+
+    def _dispatch(items, bucket):
+        B = len(items)
+        buf = np.zeros((B, bucket), np.float32)
+        lengths = np.zeros(B, np.int32)
+        for j, (_, rt) in enumerate(items):
+            seg = rt.active()
+            buf[j, : seg.size] = seg
+            lengths[j] = seg.size
+        return items, _device_runnie(
+            params, jnp.asarray(buf), jnp.asarray(lengths), cfg,
+            args.temperature, args.viterbi,
         )
-        nblk = int(np.asarray(nblocks)[0])
-        runs = runs_from_path(
-            np.asarray(mat)[0], np.asarray(path)[0], nblk, cfg.nbase
-        )
+
+    def _collect(items, dev):
+        nblocks, _, path, shape_sel, scale_sel = (np.asarray(x) for x in dev)
+        for j, (pos, _) in enumerate(items):
+            results[pos] = runs_from_selected(
+                path[j], shape_sel[j], scale_sel[j], int(nblocks[j]), cfg.nbase
+            )
+
+    pending = None
+    for bucket, items in sorted(by_bucket.items()):
+        for ofs in range(0, len(items), args.batch):
+            d = _dispatch(items[ofs : ofs + args.batch], bucket)
+            if pending is not None:
+                _collect(*pending)
+            pending = d
+    if pending is not None:
+        _collect(*pending)
+
+    for pos, rt in enumerate(order):
+        if rt is None or pos not in results:
+            continue
         # Reference quirk: runnie parses --prefix/--uuid/--no-uuid but
         # the .run header is always "# <uuid>" with no prefix
         # (src/runnie.c:277 uses rt.uuid directly; args.prefix and
         # args.uuid are never read).  Replicated for output parity.
-        write_run_record(out, rt.uuid, runs)
-        out.flush()
-
+        write_run_record(out, rt.uuid, results[pos])
     if out is not sys.stdout:
         out.close()
     return 0

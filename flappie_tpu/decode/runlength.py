@@ -114,6 +114,50 @@ def runs_from_path(params: np.ndarray, path: np.ndarray, nblocks: int, nbase: in
     return out
 
 
+def runs_from_selected(
+    path: np.ndarray,
+    shape_sel: np.ndarray,
+    scale_sel: np.ndarray,
+    nblocks: int,
+    nbase: int = 4,
+) -> List[RunRecord]:
+    """runs_from_path when only the path-selected shape/scale weights
+    were brought to host (shape_sel[t] = params[t, path[t] % nbase],
+    scale_sel[t] = params[t, nbase + path[t] % nbase], computed on
+    device) -- 8 bytes/block instead of the full 4*nparam.  Emits the
+    identical records (src/runnie.c:277-311)."""
+    out: List[RunRecord] = []
+    dwell = 1
+    last_blk = -1
+    for blk in range(nblocks):
+        if path[blk] >= nbase:
+            dwell += 1
+            continue
+        if last_blk >= 0:
+            base = int(path[last_blk])
+            out.append(
+                RunRecord(
+                    BASES[base],
+                    float(shape_sel[last_blk]),
+                    float(scale_sel[last_blk]),
+                    dwell,
+                )
+            )
+        last_blk = blk
+        dwell = 1
+    if last_blk >= 0:
+        base = int(path[last_blk])
+        out.append(
+            RunRecord(
+                BASES[base],
+                float(shape_sel[last_blk]),
+                float(scale_sel[last_blk]),
+                dwell,
+            )
+        )
+    return out
+
+
 def dwmean(shape: float, scale: float, maxval: int = 100) -> float:
     """Approximate mean of a discrete Weibull (src/decode.c:552-561)."""
     i = np.arange(1, maxval + 1, dtype=np.float64)

@@ -81,3 +81,28 @@ class DistributedBasecaller(Basecaller):
         if pad:
             out = tuple(x[:B] for x in out)
         return out
+
+    def call_chunk_batch_device(self, signals, lengths, qlo, qhi):
+        # The chunked production path shards the same way: chunks are
+        # independent rows, so DP over the chunk-batch axis.
+        B = np.shape(signals)[0]
+        pad = (-B) % self.n_data
+        if pad:
+            signals = np.concatenate(
+                [signals, np.zeros((pad,) + np.shape(signals)[1:], np.float32)],
+                axis=0,
+            )
+            lengths = np.concatenate([np.asarray(lengths, np.int32), np.zeros(pad, np.int32)])
+            qlo = np.concatenate([np.asarray(qlo, np.int32), np.zeros(pad, np.int32)])
+            qhi = np.concatenate([np.asarray(qhi, np.int32), np.zeros(pad, np.int32)])
+        s = batch_sharding(self.mesh)
+        with self.mesh:
+            out = super().call_chunk_batch_device(
+                jax.device_put(jnp.asarray(signals), s),
+                jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)), s),
+                jax.device_put(jnp.asarray(np.asarray(qlo, np.int32)), s),
+                jax.device_put(jnp.asarray(np.asarray(qhi, np.int32)), s),
+            )
+        if pad:
+            out = tuple(x[:B] for x in out)
+        return out

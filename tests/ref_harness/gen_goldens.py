@@ -22,6 +22,9 @@ import tempfile
 import numpy as np
 
 ORACLE = "/tmp/flappie_oracle/oracle"
+# Production-width oracle (build with FLAPPIE_TPU_PARITY_HID=256
+# FLAPPIE_ORACLE_DIR=/tmp/flappie_oracle_h256 sh tests/ref_harness/build_oracle.sh)
+ORACLE_H256 = "/tmp/flappie_oracle_h256/oracle"
 GOLDENS = os.path.join(os.path.dirname(__file__), "..", "goldens")
 RAW_CRP = "/root/reference/src/test/raw_signal.crp"
 
@@ -42,6 +45,10 @@ CASES = {
     "ff_trim": dict(model="r941_native", format="fastq",
                     trim=(60, 25), segmentation=(150, 0.1)),
     "mc5_vit_sam": dict(model="r941_5mC", format="sam", viterbi=True),
+    # production width: float error compounds through 2x more matmul
+    # depth than H=64; this case certifies the parity bands at H=256
+    "ff_fb_fastq_h256": dict(model="r941_native", format="fastq",
+                             dump=True, hid=256),
 }
 
 NSAMPLE = 12000
@@ -67,7 +74,8 @@ def main() -> None:
         manifest = {"uuid": UUID, "readname": READNAME, "nsample": NSAMPLE,
                     "cases": {}}
         for case, opts in CASES.items():
-            cmd = [ORACLE, "--signal", sig, "--uuid", UUID,
+            oracle = ORACLE_H256 if opts.get("hid") == 256 else ORACLE
+            cmd = [oracle, "--signal", sig, "--uuid", UUID,
                    "--readname", READNAME, "--model", opts["model"]]
             if opts["format"] != "run":
                 cmd += ["--format", opts["format"]]

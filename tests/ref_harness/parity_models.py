@@ -28,20 +28,22 @@ SEED = 1234
 # golden) sets FLAPPIE_TPU_PARITY_HID=256.
 HID = int(os.environ.get("FLAPPIE_TPU_PARITY_HID", "64"))
 
-_CONVS5 = (
-    ConvSpec(winlen=5, in_ch=1, out_ch=4, stride=1, activation="swish"),
-    ConvSpec(winlen=5, in_ch=4, out_ch=16, stride=1, activation="swish"),
-    ConvSpec(winlen=19, in_ch=16, out_ch=HID, stride=5, activation="swish"),
-)
+def _convs5(hid: int):
+    return (
+        ConvSpec(winlen=5, in_ch=1, out_ch=4, stride=1, activation="swish"),
+        ConvSpec(winlen=5, in_ch=4, out_ch=16, stride=1, activation="swish"),
+        ConvSpec(winlen=19, in_ch=16, out_ch=hid, stride=5, activation="swish"),
+    )
 
 
-def _shrink(name: str) -> ModelConfig:
+def _shrink(name: str, hid: int | None = None) -> ModelConfig:
+    hid = HID if hid is None else hid
     cfg = MODELS[name]
     if len(cfg.convs) == 3:
-        convs = _CONVS5
+        convs = _convs5(hid)
     else:  # 5mC single conv
-        convs = (replace(cfg.convs[0], out_ch=HID),)
-    rnns = tuple(replace(r, size=HID) for r in cfg.rnns)
+        convs = (replace(cfg.convs[0], out_ch=hid),)
+    rnns = tuple(replace(r, size=hid) for r in cfg.rnns)
     return replace(cfg, convs=convs, rnns=rnns)
 
 
@@ -60,6 +62,6 @@ PARITY_MODELS = {
 }
 
 
-def parity_params(name: str):
-    cfg = PARITY_MODELS[name][0]
+def parity_params(name: str, hid: int | None = None):
+    cfg = PARITY_MODELS[name][0] if hid is None else _shrink(name, hid)
     return init_synthetic(cfg, seed=SEED)

