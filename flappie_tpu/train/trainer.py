@@ -59,6 +59,51 @@ def make_train_step(cfg: ModelConfig, optimizer=None):
     return train_step, optimizer
 
 
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Checkpoint the full training state (params + optimiser + step)
+    to one npz.  Leaves are keyed by their pytree key-paths, so resume
+    restores exact adam moments; the treedefs are rebuilt from a fresh
+    optimizer.init at load time (they are structural, not stateful)."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        flat["p/" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(opt_state):
+        flat["o/" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    flat["step"] = np.asarray(step, np.int64)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Restore (params, opt_state, step) saved by save_train_state.
+
+    Templates (e.g. init_synthetic + optimizer.init) provide the tree
+    structure; every leaf must be present in the file.
+    """
+    with np.load(path) as z:
+        files = dict(z)
+
+    def fill(prefix, template):
+        leaves_kp = jax.tree_util.tree_leaves_with_path(template)
+        treedef = jax.tree_util.tree_structure(template)
+        leaves = []
+        for kp, old in leaves_kp:
+            key = prefix + jax.tree_util.keystr(kp)
+            if key not in files:
+                raise KeyError(f"checkpoint missing {key}")
+            new = files[key]
+            if np.shape(new) != np.shape(old):
+                raise ValueError(
+                    f"checkpoint leaf {key} has shape {np.shape(new)}, "
+                    f"expected {np.shape(old)}"
+                )
+            leaves.append(jnp.asarray(new))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = fill("p/", params_template)
+    opt_state = fill("o/", opt_state_template)
+    return params, opt_state, int(files["step"])
+
+
 def synthetic_batch(cfg: ModelConfig, B: int, T: int, seed: int = 0):
     """A tiny synthetic supervised batch (for tests and dry runs)."""
     rng = np.random.default_rng(seed)

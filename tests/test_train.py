@@ -1,0 +1,164 @@
+"""Training subsystem: checkpoint save/resume, chunked data pipeline,
+and CTC convergence on a synthetic-teacher task (VERDICT round-1 #9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from flappie_tpu.models.config import ConvSpec, ModelConfig, RnnSpec
+from flappie_tpu.models.params import init_synthetic
+from flappie_tpu.train import make_train_step, synthetic_batch
+from flappie_tpu.train.ctc import flipflop_encode, make_ctc_train_step
+from flappie_tpu.train.data import (
+    batches,
+    chunk_examples,
+    path_to_bases,
+    teacher_dataset,
+)
+from flappie_tpu.train.trainer import load_train_state, save_train_state
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return ModelConfig(
+        name="tiny",
+        description="tiny test model",
+        convs=(ConvSpec(winlen=9, in_ch=1, out_ch=16, stride=2, activation="tanh"),),
+        rnns=(RnnSpec("lstm", 16, backward=True), RnnSpec("lstm", 16, backward=False)),
+        head="flipflop",
+        nbase=4,
+    )
+
+
+def test_checkpoint_save_resume_bitwise(tiny_cfg, tmp_path):
+    """Interrupt-and-resume must continue the exact trajectory: params
+    and adam moments after save/load + k steps equal an uninterrupted
+    run of the same total steps."""
+    cfg = tiny_cfg
+    params = init_synthetic(cfg, seed=0)
+    train_step, optimizer = make_train_step(cfg, optax.adam(1e-3))
+    opt_state = optimizer.init(params)
+    signal, lengths, path = synthetic_batch(cfg, B=2, T=256, seed=3)
+    args = (jnp.asarray(signal), jnp.asarray(lengths), jnp.asarray(path))
+
+    # uninterrupted: 5 steps
+    p_ref, s_ref = params, opt_state
+    for _ in range(5):
+        p_ref, s_ref, _ = train_step(p_ref, s_ref, *args)
+
+    # interrupted: 2 steps, save, load into fresh templates, 3 steps
+    p, s = params, opt_state
+    for _ in range(2):
+        p, s, _ = train_step(p, s, *args)
+    ckpt = str(tmp_path / "state.npz")
+    save_train_state(ckpt, p, s, step=2)
+
+    p2, s2, step = load_train_state(
+        ckpt, init_synthetic(cfg, seed=99), optimizer.init(init_synthetic(cfg, seed=99))
+    )
+    assert step == 2
+    for _ in range(3):
+        p2, s2, _ = train_step(p2, s2, *args)
+
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_rejected(tiny_cfg, tmp_path):
+    cfg = tiny_cfg
+    params = init_synthetic(cfg, seed=0)
+    _, optimizer = make_train_step(cfg)
+    opt_state = optimizer.init(params)
+    ckpt = str(tmp_path / "state.npz")
+    save_train_state(ckpt, params, opt_state, step=0)
+
+    other = ModelConfig(
+        name="tiny2", description="", convs=cfg.convs,
+        rnns=(RnnSpec("lstm", 32, backward=True),), head="flipflop", nbase=4,
+    )
+    wrong = init_synthetic(other, seed=0)
+    with pytest.raises((ValueError, KeyError)):
+        load_train_state(ckpt, wrong, optimizer.init(wrong))
+
+
+def test_path_to_bases_matches_decoder_semantics():
+    # path changes at positions 1 (0->5), 3 (5->2), skipping stays
+    path = np.array([0, 5, 5, 2, 2, 2, 7], np.int32)
+    bases = path_to_bases(path, nblocks=6, nbase=4)
+    # changes at 1 (state 5 -> base 1) and 3 (state 2 -> base 2);
+    # block 6 is outside nblocks
+    np.testing.assert_array_equal(bases, [1, 2])
+
+
+def test_chunk_examples_alignment(tiny_cfg):
+    cfg = tiny_cfg
+    rng = np.random.default_rng(0)
+    n = 1000
+    signal = rng.normal(size=n).astype(np.float32)
+    nblk = -(-n // cfg.total_stride)
+    path = rng.integers(0, 2 * cfg.nbase, size=nblk + 1).astype(np.int32)
+    exs = chunk_examples(signal, path, cfg.total_stride, 256, cfg.nbase)
+    assert len(exs) == 4  # 1000 samples / 256-chunk
+    # chunk k's bases come from the path slice covering its blocks
+    for k, e in enumerate(exs):
+        g0 = (256 * k) // cfg.total_stride
+        nb = -(-e.signal.size // cfg.total_stride)
+        want = path_to_bases(path[g0 : g0 + nb + 1], nb + 1, cfg.nbase)
+        np.testing.assert_array_equal(e.bases, want)
+
+
+def test_batches_static_shapes(tiny_cfg):
+    cfg = tiny_cfg
+    rng = np.random.default_rng(1)
+    exs = chunk_examples(
+        rng.normal(size=2000).astype(np.float32),
+        rng.integers(0, 8, size=1001).astype(np.int32),
+        cfg.total_stride, 256, cfg.nbase,
+    )
+    got = list(batches(exs, 256, batch=4, nbase=cfg.nbase, seed=0, epochs=2))
+    assert len(got) == 2 * ((len(exs) + 3) // 4)
+    L = max(e.bases.size for e in exs)
+    for sig, lengths, states, tlen in got:
+        assert sig.shape == (4, 256) and states.shape == (4, L)
+        assert (tlen >= 1).all() and (lengths <= 256).all()
+        # encoded states alternate flip/flop on repeated bases
+        assert states.dtype == np.int32
+
+
+def test_ctc_converges_on_synthetic_teacher(tiny_cfg):
+    """A randomly-initialised student trained with the CTC loss on a
+    synthetic teacher's (signal, Viterbi-path) labels must converge:
+    mean NLL drops by >40% within 40 steps."""
+    cfg = tiny_cfg
+    teacher = init_synthetic(cfg, seed=1)
+    exs = teacher_dataset(cfg, jax.tree.map(jnp.asarray, teacher),
+                          n_reads=6, read_len=512, chunk=256, seed=0)
+    assert len(exs) >= 10
+
+    student = init_synthetic(cfg, seed=2)
+    train_step, optimizer = make_ctc_train_step(cfg, optax.adam(3e-3))
+    opt_state = optimizer.init(student)
+
+    losses = []
+    p, s = student, opt_state
+    for sig, lengths, states, tlen in batches(
+        exs, 256, batch=8, nbase=cfg.nbase, seed=0, epochs=30
+    ):
+        p, s, loss = train_step(
+            p, s, jnp.asarray(sig), jnp.asarray(lengths),
+            jnp.asarray(states), jnp.asarray(tlen),
+        )
+        losses.append(float(loss))
+        if len(losses) >= 40:
+            break
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert np.isfinite(losses).all()
+    assert last < 0.6 * first, f"CTC did not converge: {first:.4f} -> {last:.4f}"
