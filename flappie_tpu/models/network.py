@@ -39,8 +39,53 @@ def ceil_div(a, b):
     return -(-a // b)
 
 
+def _conv_impl() -> str:
+    """FLAPPIE_TPU_CONV_IMPL: ``xla`` (lax.conv NWC — the parity
+    reference), ``fast`` (channels-major shifted-sum + im2col, see
+    ops/conv.conv1d_same_ct: the early layers' 1–16 channels pad to the
+    128-lane width in NWC, wasting up to 128x of every vector op), or
+    ``auto`` (fast on TPU, xla elsewhere)."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_CONV_IMPL", "auto")
+    if v == "auto":
+        import jax
+
+        return "fast" if jax.default_backend() == "tpu" else "xla"
+    return v
+
+
+def _conv_stack_fast(params, cfg: ModelConfig, x, lengths):
+    """Channels-major conv stack: stride-1 layers stay [B, C, T] (time
+    on lanes), the strided layer emits the RNN stack's [B, T', C]."""
+    from ..ops.conv import conv1d_same_ct, conv1d_strided_ct
+
+    xc = jnp.swapaxes(x, 1, 2)  # [B, C=1, T]
+    for i, c in enumerate(cfg.convs):
+        W = params[f"conv{i}"]["W"]
+        b = params[f"conv{i}"]["b"]
+        act = ACTIVATIONS[c.activation]
+        if c.stride == 1:
+            y = act(conv1d_same_ct(xc, W, b))
+            # zero the padded tail (t >= length) in channels-major
+            T = y.shape[-1]
+            m = (jnp.arange(T)[None, None, :] < lengths[:, None, None])
+            xc = jnp.where(m, y, 0.0)
+        else:
+            y = act(conv1d_strided_ct(xc, W, b, c.stride, lengths))
+            lengths = ceil_div(lengths, c.stride)
+            y = mask_tail(y, lengths)
+            if i != len(cfg.convs) - 1:  # a later stride-1 conv follows
+                xc = jnp.swapaxes(y, 1, 2)
+            else:
+                return y, lengths
+    return jnp.swapaxes(xc, 1, 2), lengths
+
+
 def conv_stack(params, cfg: ModelConfig, x, lengths):
     """x: [B, T, 1] float32, lengths: [B] -> (y [B, T', C], lengths')."""
+    if _conv_impl() == "fast" and cfg.convs[-1].stride > 1:
+        return _conv_stack_fast(params, cfg, x, lengths)
     for i, c in enumerate(cfg.convs):
         W = params[f"conv{i}"]["W"]
         b = params[f"conv{i}"]["b"]

@@ -125,6 +125,75 @@ def _ref_edge_fix(out, x, W, b, stride: int, lengths):
     return out.at[bidx, target].set(new)
 
 
+def conv1d_same_ct(xc, W, b):
+    """Stride-1 same-conv in channels-major [B, C, T] layout.
+
+    The early conv layers have 1-16 channels: in the natural NWC layout
+    the channel axis pads to the 128-lane register width, wasting up to
+    128x of every vector op and HBM stream.  Keeping TIME on lanes
+    ([B, C, T]) makes them dense: the conv is a sum of winlen shifted
+    slice-multiplies, fully fused by XLA.
+
+    xc: [B, C_in, T]; W: [winlen, C_in, C_out]; returns [B, C_out, T].
+    Numerically this reassociates the (k, c) reduction vs the XLA NWC
+    conv (float32 ulps); the XLA path remains the parity reference.
+    """
+    winlen, Cin, Cout = W.shape
+    B, _, T = xc.shape
+    padL = (winlen - 1) // 2
+    padR = winlen // 2
+    xp = jnp.pad(xc, ((0, 0), (0, 0), (padL, padR)))
+    out = jnp.zeros((B, Cout, T), xc.dtype) + b[None, :, None]
+    for k in range(winlen):
+        # out[b, o, t] += sum_c W[k, c, o] * x[b, c, t + k - padL]
+        out = out + jnp.einsum(
+            "bct,co->bot", xp[:, :, k : k + T], W[k],
+            precision=ff_precision(), preferred_element_type=jnp.float32,
+        )
+    return out
+
+
+def conv1d_strided_ct(xc, W, b, stride: int, lengths):
+    """Strided conv from channels-major input to [B, T', C_out] output
+    (the recurrent stack's layout), via one im2col + one MXU matmul.
+
+    Replicates the reference right-edge quirk through _ref_edge_fix,
+    which needs a time-major view of the input for its window gathers
+    (a cheap transpose next to the im2col traffic).
+    """
+    winlen, Cin, Cout = W.shape
+    B, _, T = xc.shape
+    padL = (winlen - 1) // 2
+    padR = winlen // 2
+    Tout = -(-T // stride)
+    # pad so every strided window slice is in bounds (the extra zeros
+    # beyond T+padR sit in columns the reference edge fix rewrites)
+    xp = jnp.pad(
+        xc, ((0, 0), (0, 0), (padL, padR + (stride * Tout - T) + stride))
+    )
+    # im2col: [B, Tout, winlen, Cin] from winlen strided slices
+    cols = jnp.stack(
+        [
+            lax.slice(xp, (0, 0, k), (B, Cin, k + stride * Tout), (1, 1, stride))
+            for k in range(winlen)
+        ],
+        axis=-1,
+    )  # [B, Cin, Tout, winlen]
+    cols = cols.transpose(0, 2, 3, 1).reshape(B, Tout, winlen * Cin)
+    out = (
+        jnp.einsum(
+            "btk,ko->bto", cols, W.reshape(winlen * Cin, Cout),
+            precision=ff_precision(), preferred_element_type=jnp.float32,
+        )
+        + b
+    )
+    if stride > 1 and winlen % stride != 0:
+        if lengths is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        out = _ref_edge_fix(out, xc.transpose(0, 2, 1), W, b, stride, lengths)
+    return out
+
+
 def conv1d_same(x, W, b, stride: int, lengths=None):
     """x: [B, T, C_in], W: [winlen, C_in, C_out], b: [C_out].
 

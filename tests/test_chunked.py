@@ -173,3 +173,35 @@ def test_chunked_mixed_batch_order_and_viterbi(cfg_params):
     assert out[0].basecall == ref.basecall
     # viterbi score band: per-chunk logZ/nblk shifts sum into the score
     assert abs(out[0].score - ref.score) / abs(ref.score) < 0.05
+
+
+@pytest.mark.parametrize("model", ["r941_native", "r941_5mC"])
+def test_conv_stack_fast_matches_xla(model, monkeypatch):
+    """The channels-major conv fast path (FLAPPIE_TPU_CONV_IMPL=fast)
+    must match the XLA-conv parity path within float32 reassociation
+    tolerance, including the strided right-edge quirk and tail
+    masking, for batched variable-length reads."""
+    import jax.numpy as jnp
+
+    from flappie_tpu.models.network import conv_stack
+
+    cfg = _shrink(model)
+    params = init_synthetic(cfg, seed=7)
+    rng = np.random.default_rng(3)
+    B, T = 3, 1024
+    x = rng.normal(size=(B, T, 1)).astype(np.float32)
+    lengths = np.array([1024, 997, 512], np.int32)
+    # zero beyond each read like transitions() does
+    for b in range(B):
+        x[b, lengths[b]:] = 0.0
+
+    monkeypatch.setenv("FLAPPIE_TPU_CONV_IMPL", "xla")
+    y_ref, nb_ref = conv_stack(params, cfg, jnp.asarray(x), jnp.asarray(lengths))
+    monkeypatch.setenv("FLAPPIE_TPU_CONV_IMPL", "fast")
+    y_fast, nb_fast = conv_stack(params, cfg, jnp.asarray(x), jnp.asarray(lengths))
+    monkeypatch.delenv("FLAPPIE_TPU_CONV_IMPL")
+
+    np.testing.assert_array_equal(np.asarray(nb_ref), np.asarray(nb_fast))
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
