@@ -124,7 +124,7 @@ class Basecaller:
         compute_trace: bool = True,
         seed: int = 0,
         rnn_impl: str = "auto",
-        chunk: int = 12800,
+        chunk: Optional[int] = None,
         overlap: int = 1600,
         chunk_batch: int = 256,
     ):
@@ -144,8 +144,13 @@ class Basecaller:
         # samples are split into overlapping chunks batched through ONE
         # fixed-shape device program and stitched at overlap midpoints
         # (parallel/chunking.py).  Serial recurrence length becomes
-        # chunk/stride regardless of read length.
+        # chunk/stride regardless of read length; the default scales
+        # with the model stride so every model family gets the same
+        # 2,560 serial blocks per chunk (12,800 samples at stride 5,
+        # 5,120 at the 5mC model's stride 2).
         stride = self.cfg.total_stride
+        if chunk is None:
+            chunk = 2560 * stride
         self.chunk = int(chunk) - int(chunk) % stride if chunk else 0
         self.overlap = int(overlap)
         self.chunk_batch = int(chunk_batch)

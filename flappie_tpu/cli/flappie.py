@@ -105,12 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model weights (npz checkpoint); synthetic if omitted")
     p.add_argument("--batch", type=int, default=32, metavar="B",
                    help="Maximum device batch size")
-    p.add_argument("--chunk", type=int, default=12800, metavar="samples",
+    p.add_argument("--chunk", type=int, default=None, metavar="samples",
                    help="Chunked fast path: reads longer than this are "
                         "split into overlapping chunks batched through one "
                         "fixed-shape device program and stitched at overlap "
-                        "midpoints (0 disables; the full-read serial path "
-                        "is the byte-parity reference)")
+                        "midpoints (default: 2560 blocks x model stride = "
+                        "12800 at stride 5; 0 disables - the full-read "
+                        "serial path is the byte-parity reference)")
     p.add_argument("--overlap", type=int, default=1600, metavar="samples",
                    help="Chunk overlap; each stitched block sits at least "
                         "overlap/2 samples from its chunk's edges")
