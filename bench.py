@@ -50,7 +50,7 @@ def build_chunk_batches(caller, batches):
     """Explode [B, T] read batches into [CB, CHUNK] chunk batches.
 
     Returns (chunk_batches, samples_per_epoch): each chunk batch is the
-    (sig, lengths, qlo, qhi) numpy tuple call_chunk_batch_device takes.
+    packed [CB, CHUNK+4] f32 array dispatch_packed_chunk takes.
     """
     from flappie_tpu.parallel.chunking import chunk_records, plan_chunks
 
@@ -65,6 +65,8 @@ def build_chunk_batches(caller, batches):
             plan = plan_chunks(n, stride, CHUNK, OVERLAP)
             for r in chunk_records(plan):
                 jobs.append((sig[b], r))
+    from flappie_tpu.basecall import Basecaller
+
     for ofs in range(0, len(jobs), CB):
         sl = jobs[ofs : ofs + CB]
         s = np.zeros((CB, CHUNK), np.float32)
@@ -76,23 +78,26 @@ def build_chunk_batches(caller, batches):
             ln[j] = r.length
             qlo[j] = r.qlo
             qhi[j] = r.qhi
-        out.append((s, ln, qlo, qhi))
+        out.append(Basecaller.pack_chunk_inputs(s, ln, qlo, qhi))
     return out, total
 
 
-def chunked_epoch(caller, chunk_batches, samples: int, reps: int) -> float:
-    """Pipelined: dispatch one batch ahead of materialisation."""
+def chunked_epoch(caller, chunk_batches, samples: int, reps: int,
+                  depth: int = 8) -> float:
+    """Pipelined: keep `depth` batches in flight before materialising
+    (a depth-1 queue stalls on the device-launch round trip, which
+    through the axon tunnel reaches ~100+ ms per cycle)."""
     import time
 
     t0 = time.perf_counter()
-    pending = None
+    pending: list = []
     for _ in range(reps):
         for batch in chunk_batches:
-            out = caller.call_chunk_batch_device(*batch)
-            if pending is not None:
-                _ = [np.asarray(x) for x in pending]
-            pending = out
-    _ = [np.asarray(x) for x in pending]
+            pending.append(caller.dispatch_packed_chunk(batch))
+            if len(pending) > depth:
+                _ = np.asarray(pending.pop(0))
+    for out in pending:
+        _ = np.asarray(out)
     return samples * reps / (time.perf_counter() - t0)
 
 
@@ -103,7 +108,7 @@ def main() -> int:
 
     B = 64
     T = 65536
-    reps = 2  # epoch repetitions over the 3 distinct read batches
+    reps = 3  # epoch repetitions over the 3 distinct read batches
 
     caller = Basecaller("r941_native", seed=0, compute_trace=False,
                         viterbi_only=False, chunk=CHUNK, overlap=OVERLAP,
@@ -112,7 +117,7 @@ def main() -> int:
     chunk_batches, samples = build_chunk_batches(caller, batches)
 
     # Warm up (compile)
-    _ = [np.asarray(x) for x in caller.call_chunk_batch_device(*chunk_batches[0])]
+    _ = np.asarray(caller.dispatch_packed_chunk(chunk_batches[0]))
 
     # The chip may be time-shared (and the first epoch can still hit
     # cold caches); report the best of two steady-state epochs.

@@ -38,18 +38,21 @@ def build_batches(
 
 
 def pipelined_epoch(
-    dispatch: Callable, batches: Sequence[Tuple[np.ndarray, np.ndarray]], iters: int
+    dispatch: Callable, batches: Sequence[Tuple[np.ndarray, np.ndarray]], iters: int,
+    depth: int = 4,
 ) -> float:
-    """Dispatch one batch ahead of materialisation; returns samples/s."""
+    """Dispatch `depth` batches ahead of materialisation; returns
+    samples/s.  A depth-1 queue stalls on the device-launch round trip
+    (through the axon tunnel: ~100+ ms per cycle)."""
     t0 = time.perf_counter()
     total = 0
-    pending = None
+    pending = []
     for i in range(iters):
         batch, lengths = batches[i % len(batches)]
-        out = dispatch(batch, lengths)
-        if pending is not None:
-            _ = [np.asarray(x) for x in pending]
-        pending = out
+        pending.append(dispatch(batch, lengths))
+        if len(pending) > depth:
+            _ = [np.asarray(x) for x in pending.pop(0)]
         total += int(lengths.sum())
-    _ = [np.asarray(x) for x in pending]
+    for out in pending:
+        _ = [np.asarray(x) for x in out]
     return total / (time.perf_counter() - t0)

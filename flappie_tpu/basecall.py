@@ -29,7 +29,7 @@ from .io.fastx import BasecallResult
 from .models.config import ModelConfig, get_model_config
 from .models.network import transitions
 from .models.params import init_synthetic, load_npz, validate
-from .ops.crf import crf_transpost, crf_viterbi, phred_from_qpath, trace_from_posterior
+from .ops.crf import phred_from_qpath
 from .signal.preprocess import RawTable, normalise_signal, trim_and_segment
 
 F32 = np.float32
@@ -45,6 +45,39 @@ def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
     return b
 
 
+# In-flight device batches kept queued before materialising results.
+# JAX async dispatch hides device-launch latency only while the queue
+# is non-empty at materialisation time; through a remote/tunneled
+# device EVERY host<->device call is a blocking round trip (measured
+# ~20-100 ms each through the axon tunnel), so a depth-1 queue (the
+# classic materialise-one-behind) stalls every batch.  Depth ~8 plus
+# one-array-in / one-array-out batches (see the packed chunk program)
+# overlaps the round trips with compute; per-batch outputs are bytes,
+# so the queue costs almost nothing.
+PIPELINE_DEPTH = 8
+
+
+class _Pipeline:
+    """Dispatch-ahead queue: push (tag, device_out) pairs, collect
+    materialised (tag, numpy_outs) once the queue exceeds depth."""
+
+    def __init__(self, collect, depth: int = PIPELINE_DEPTH):
+        self._collect = collect
+        self._depth = depth
+        self._q: list = []
+
+    def push(self, tag, out) -> None:
+        self._q.append((tag, out))
+        if len(self._q) > self._depth:
+            tag, out = self._q.pop(0)
+            self._collect(tag, jax.tree.map(np.asarray, out))
+
+    def drain(self) -> None:
+        for tag, out in self._q:
+            self._collect(tag, jax.tree.map(np.asarray, out))
+        self._q.clear()
+
+
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
 def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, compute_trace: bool):
     """CRF decode of transition weights (fb posterior unless viterbi).
@@ -53,15 +86,11 @@ def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, 
     trace uint8): everything the host needs, one byte per block, so the
     device->host transfer stays small.
     """
-    if viterbi_only:
-        mat = trans
-    else:
-        mat = crf_transpost(trans, nblocks, nbase, return_log=True)
-    score, path, qpath = crf_viterbi(mat, nblocks, nbase)
-    if compute_trace:
-        trace = trace_from_posterior(jnp.exp(mat), nbase)
-    else:
-        trace = jnp.zeros((trans.shape[0], 1, nstate), jnp.uint8)
+    from .ops.crf import crf_decode_fused
+
+    score, path, qpath, trace = crf_decode_fused(
+        trans, nblocks, nbase, viterbi_only, compute_trace
+    )
     return score, path.astype(jnp.int8), phred_from_qpath(qpath), trace
 
 
@@ -89,22 +118,60 @@ def _device_basecall_chunk(params, signal, lengths, qlo, qhi, cfg: ModelConfig, 
     to the full-read score and nothing bigger than bytes ever leaves
     the device.
     """
-    from .ops.crf import crf_transpost, crf_viterbi, trace_from_posterior
+    from .ops.crf import crf_decode_fused
 
     trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
-    if viterbi_only:
-        mat = trans
-    else:
-        mat = crf_transpost(trans, nblocks, cfg.nbase, return_log=True)
-    _, path, qpath = crf_viterbi(mat, nblocks, cfg.nbase)
+    _, path, qpath, trace = crf_decode_fused(
+        trans, nblocks, cfg.nbase, viterbi_only, compute_trace
+    )
     t = jnp.arange(qpath.shape[1])[None, :]
     keep = (t >= qlo[:, None]) & (t < qhi[:, None])
     score_part = jnp.sum(jnp.where(keep, qpath, 0.0), axis=1)
-    if compute_trace:
-        trace = trace_from_posterior(jnp.exp(mat), cfg.nbase)
-    else:
-        trace = jnp.zeros((trans.shape[0], 1, cfg.nstate), jnp.uint8)
     return score_part, path.astype(jnp.int8), phred_from_qpath(qpath), nblocks, trace
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_chunk_packed(params, buf, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str):
+    """Packed-I/O chunk program: ONE f32 array in, ONE uint8 array out.
+
+    Through a tunneled device every transfer is a blocking round trip,
+    so the production path ships each batch as a single [CB, chunk+4]
+    array (signal + float-encoded int metadata: length, qlo, qhi, pad)
+    and returns a single byte matrix per batch:
+
+        [CB, (T+1)          path  (int8 states)
+             + (T+1)        qchar (phred bytes)
+             (+ (T+1)*S     trace bytes, when compute_trace)
+             + 4            score_part f32, bitcast
+             + 4 ]          nblocks i32, bitcast
+    """
+    sig = buf[:, :-4]
+    meta = buf[:, -4:].astype(jnp.int32)
+    score, path, qchar, nblocks, trace = _device_basecall_chunk(
+        params, sig, meta[:, 0], meta[:, 1], meta[:, 2],
+        cfg, temperature, viterbi_only, compute_trace, rnn_impl,
+    )
+    B = path.shape[0]
+    parts = [path.astype(jnp.uint8), qchar]
+    if compute_trace:
+        parts.append(trace.reshape(B, -1))
+    parts.append(jax.lax.bitcast_convert_type(score, jnp.uint8).reshape(B, 4))
+    parts.append(jax.lax.bitcast_convert_type(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_chunk_outputs(buf: np.ndarray, T1: int, nstate: int, compute_trace: bool):
+    """Inverse of the packed layout -> (score, path, qchar, nblocks, trace)."""
+    path = buf[:, :T1].astype(np.int8)
+    qchar = buf[:, T1 : 2 * T1]
+    ofs = 2 * T1
+    trace = None
+    if compute_trace:
+        trace = buf[:, ofs : ofs + T1 * nstate].reshape(-1, T1, nstate)
+        ofs += T1 * nstate
+    score = buf[:, ofs : ofs + 4].copy().view(np.float32)[:, 0]
+    nblocks = buf[:, ofs + 4 : ofs + 8].copy().view(np.int32)[:, 0]
+    return score, path, qchar, nblocks, trace
 
 
 class Basecaller:
@@ -229,9 +296,9 @@ class Basecaller:
             b = bucket_length(rt.end - rt.start)
             by_bucket.setdefault(b, []).append((i, rt))
 
-        # Dispatch ahead: queue batch n+1 on device before materialising
-        # batch n, so host assembly and device->host transfer overlap
-        # the next batch's compute (JAX async dispatch).
+        # Dispatch ahead: keep PIPELINE_DEPTH batches in flight before
+        # materialising, so host assembly, transfers and the device
+        # launch round trip all overlap compute (JAX async dispatch).
         def _dispatch(chunk, bucket):
             B = len(chunk)
             sig = np.zeros((B, bucket), F32)
@@ -243,21 +310,17 @@ class Basecaller:
             return chunk, self.call_batch_device(sig, lengths)
 
         def _collect(chunk, out):
-            score, path, qpath, nblocks, trace = (np.asarray(x) for x in out)
+            score, path, qpath, nblocks, trace = out
             for j, (i, rt) in enumerate(chunk):
                 results[i] = self._assemble(
                     rt, score[j], path[j], qpath[j], int(nblocks[j]), trace[j], reverse
                 )
 
-        pending = None
+        pipe = _Pipeline(_collect)
         for bucket, items in sorted(by_bucket.items()):
             for ofs in range(0, len(items), max_batch):
-                dispatched = _dispatch(items[ofs : ofs + max_batch], bucket)
-                if pending is not None:
-                    _collect(*pending)
-                pending = dispatched
-        if pending is not None:
-            _collect(*pending)
+                pipe.push(*_dispatch(items[ofs : ofs + max_batch], bucket))
+        pipe.drain()
         return results
 
     def basecall_read(self, rt: RawTable, **kw) -> Optional[BasecallResult]:
@@ -265,26 +328,44 @@ class Basecaller:
 
     # -- chunked production path -------------------------------------------
 
+    @staticmethod
+    def pack_chunk_inputs(signals, lengths, qlo, qhi) -> np.ndarray:
+        """One [CB, chunk+4] f32 array per batch: signal plus
+        float-encoded int metadata (exact below 2^24)."""
+        meta = np.stack(
+            [
+                np.asarray(lengths, np.int32),
+                np.asarray(qlo, np.int32),
+                np.asarray(qhi, np.int32),
+                np.zeros(np.shape(signals)[0], np.int32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        return np.concatenate([np.asarray(signals, np.float32), meta], axis=1)
+
     def call_chunk_batch_device(self, signals, lengths, qlo, qhi):
         """Dispatch one [CB, chunk] chunk batch (fused forward+decode
-        with per-chunk owned-range score sums); non-blocking."""
+        with per-chunk owned-range score sums); non-blocking.  Returns
+        ONE packed byte matrix (see _device_basecall_chunk_packed) --
+        unpack with unpack_chunk_outputs."""
+        return self.dispatch_packed_chunk(
+            self.pack_chunk_inputs(signals, lengths, qlo, qhi)
+        )
 
-        def as_i32(x):
-            # keep already-placed (possibly sharded) device arrays as-is
-            return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x, np.int32))
-
-        return _device_basecall_chunk(
+    def dispatch_packed_chunk(self, buf):
+        return _device_basecall_chunk_packed(
             self.params,
-            jnp.asarray(signals),
-            as_i32(lengths),
-            as_i32(qlo),
-            as_i32(qhi),
+            jnp.asarray(buf),
             self.cfg,
             self.temperature,
             self.viterbi_only,
             self.compute_trace,
             self.rnn_impl,
         )
+
+    def unpack_chunk_outputs(self, buf: np.ndarray):
+        T1 = self.chunk // self.cfg.total_stride + 1
+        return _unpack_chunk_outputs(buf, T1, self.cfg.nstate, self.compute_trace)
 
     def _basecall_chunked(self, items, results, reverse: bool) -> None:
         """Batch overlapping chunks of long reads ACROSS reads through
@@ -337,7 +418,7 @@ class Basecaller:
             return job_slice, self.call_chunk_batch_device(sig, lengths, qlo, qhi)
 
         def _collect(job_slice, out):
-            score, path, qchar, _, trace = (np.asarray(x) for x in out)
+            score, path, qchar, _, trace = self.unpack_chunk_outputs(out)
             for j, (i, r) in enumerate(job_slice):
                 st = state[i]
                 end = r.keep_hi + (1 if r.last else 0)  # fencepost entry
@@ -355,14 +436,10 @@ class Basecaller:
                     )
                     state[i] = {"remaining": 0}  # free the buffers
 
-        pending = None
+        pipe = _Pipeline(_collect)
         for ofs in range(0, len(jobs), CB):
-            dispatched = _dispatch(jobs[ofs : ofs + CB])
-            if pending is not None:
-                _collect(*pending)
-            pending = dispatched
-        if pending is not None:
-            _collect(*pending)
+            pipe.push(*_dispatch(jobs[ofs : ofs + CB]))
+        pipe.drain()
 
     # -- chunked long-read path --------------------------------------------
 

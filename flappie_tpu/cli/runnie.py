@@ -129,21 +129,19 @@ def main(argv=None) -> int:
         )
 
     def _collect(items, dev):
-        nblocks, _, path, shape_sel, scale_sel = (np.asarray(x) for x in dev)
+        nblocks, _, path, shape_sel, scale_sel = dev
         for j, (pos, _) in enumerate(items):
             results[pos] = runs_from_selected(
                 path[j], shape_sel[j], scale_sel[j], int(nblocks[j]), cfg.nbase
             )
 
-    pending = None
+    from ..basecall import _Pipeline
+
+    pipe = _Pipeline(_collect)
     for bucket, items in sorted(by_bucket.items()):
         for ofs in range(0, len(items), args.batch):
-            d = _dispatch(items[ofs : ofs + args.batch], bucket)
-            if pending is not None:
-                _collect(*pending)
-            pending = d
-    if pending is not None:
-        _collect(*pending)
+            pipe.push(*_dispatch(items[ofs : ofs + args.batch], bucket))
+    pipe.drain()
 
     for pos, rt in enumerate(order):
         if rt is None or pos not in results:

@@ -143,14 +143,16 @@ def conv1d_same_ct(xc, W, b):
     padL = (winlen - 1) // 2
     padR = winlen // 2
     xp = jnp.pad(xc, ((0, 0), (0, 0), (padL, padR)))
-    out = jnp.zeros((B, Cout, T), xc.dtype) + b[None, :, None]
-    for k in range(winlen):
-        # out[b, o, t] += sum_c W[k, c, o] * x[b, c, t + k - padL]
-        out = out + jnp.einsum(
-            "bct,co->bot", xp[:, :, k : k + T], W[k],
-            precision=ff_precision(), preferred_element_type=jnp.float32,
-        )
-    return out
+    # One dot over the combined (k, c) axis: a k-loop of einsums lowers
+    # to winlen separate [B*T, C] matmuls each streaming the full
+    # output; the stacked form is a single [B*T, winlen*Cin] x
+    # [winlen*Cin, Cout] MXU pass.
+    xs = jnp.stack([xp[:, :, k : k + T] for k in range(winlen)])  # [k, B, C, T]
+    out = jnp.einsum(
+        "kbct,kco->bot", xs, W,
+        precision=ff_precision(), preferred_element_type=jnp.float32,
+    )
+    return out + b[None, :, None]
 
 
 def conv1d_strided_ct(xc, W, b, stride: int, lengths):
@@ -171,18 +173,17 @@ def conv1d_strided_ct(xc, W, b, stride: int, lengths):
     xp = jnp.pad(
         xc, ((0, 0), (0, 0), (padL, padR + (stride * Tout - T) + stride))
     )
-    # im2col: [B, Tout, winlen, Cin] from winlen strided slices
+    # strided im2col as stacked slices, contracted in one dot (no
+    # explicit transpose/reshape materialisation - XLA picks layouts)
     cols = jnp.stack(
         [
             lax.slice(xp, (0, 0, k), (B, Cin, k + stride * Tout), (1, 1, stride))
             for k in range(winlen)
-        ],
-        axis=-1,
-    )  # [B, Cin, Tout, winlen]
-    cols = cols.transpose(0, 2, 3, 1).reshape(B, Tout, winlen * Cin)
+        ]
+    )  # [winlen, B, Cin, Tout]
     out = (
         jnp.einsum(
-            "btk,ko->bto", cols, W.reshape(winlen * Cin, Cout),
+            "kbct,kco->bto", cols, W,
             precision=ff_precision(), preferred_element_type=jnp.float32,
         )
         + b

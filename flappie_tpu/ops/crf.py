@@ -155,24 +155,27 @@ CRF_TIME_BLOCK = 16
 def _impl() -> str:
     """CRF scan implementation (FLAPPIE_TPU_CRF_IMPL):
 
-    - ``scan`` - sequential blocked lax.scan: the parity/numerical
-      reference (bit-matches the C oracle's formulation order).
+    - ``scan`` - sequential blocked lax.scan over [B, T, ...]: the
+      parity/numerical reference (bit-matches the C oracle's
+      formulation order).
+    - ``scanb`` - the same sequential formulation in batch-minor
+      layout (ops/crf_bm.py): B rides the 128-lane axis so the tiny
+      [S, S] state tiles stop wasting 15/16 of every register.  The
+      production fast path (~8x decode speedup measured on v5e).
     - ``seg``  - two-level segmented scans (ops/crf_seg.py): serial
-      depth L + T/L instead of T; the production fast path.  Results
-      agree with ``scan`` to float32 reassociation ulps (~1e-6 rel),
-      NOT bitwise.
-    - ``pallas`` - opt-in time-scan kernels (ops/crf_pallas.py);
-      measured on v5e they only match the blocked scan (the sequential
-      decode is latency-bound, not kernel-bound).
-    - ``auto`` (default) - ``seg`` on TPU, ``scan`` elsewhere (CPU CI
-      and the golden suites exercise the parity path; real hardware
+      depth L + T/L instead of T.  Measured SLOWER than scanb at chunk
+      shapes (its parallel phases stream large prefix tensors); kept
+      for very long single reads.
+    - ``pallas`` - opt-in time-scan kernels (ops/crf_pallas.py).
+    - ``auto`` (default) - ``scanb`` on TPU, ``scan`` elsewhere (CPU
+      CI and the golden suites exercise the parity path; real hardware
       gets the fast path).
     """
     import os
 
     v = os.environ.get("FLAPPIE_TPU_CRF_IMPL", "auto")
     if v == "auto":
-        return "seg" if jax.default_backend() == "tpu" else "scan"
+        return "scanb" if jax.default_backend() == "tpu" else "scan"
     return v
 
 
@@ -180,7 +183,7 @@ def _use_pallas() -> bool:
     return _impl() == "pallas"
 
 
-def _scan_blocked(step, init, xs, K: int = CRF_TIME_BLOCK):
+def _scan_blocked(step, init, xs, K: int | None = None):
     """lax.scan with K steps unrolled per iteration.
 
     The CRF state is tiny ([B, nstate]), so a plain per-block scan is
@@ -190,7 +193,13 @@ def _scan_blocked(step, init, xs, K: int = CRF_TIME_BLOCK):
     padded to a multiple of K; every step fn here freezes its carry
     when the step's `valid` input is False, and padded validity is
     False (jnp.pad zero-fills), so padding is inert.
+
+    K defaults to the module constant at CALL time (so sweeps can
+    retune it per trace); it trades per-iteration dispatch latency
+    against unrolled-body size.
     """
+    if K is None:
+        K = CRF_TIME_BLOCK
     T = jax.tree.leaves(xs)[0].shape[0]
     Tp = -(-T // K) * K
     if Tp != T:
@@ -241,7 +250,14 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return alpha, alpha
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]  # [B, T]
-    if _impl() == "seg":
+    if _impl() == "scanb":
+        from .crf_bm import _fwd_states_tm
+
+        alphas_tm = _fwd_states_tm(
+            dense.transpose(1, 2, 3, 0), jnp.swapaxes(tvalid, 0, 1)
+        )
+        alphas = alphas_tm.transpose(2, 0, 1)  # [B, T+1, S]
+    elif _impl() == "seg":
         from .crf_seg import seg_forward_states
 
         alphas = seg_forward_states(dense, nblocks)
@@ -487,10 +503,42 @@ def path_score(trans, path, nblocks, nbase: int, idx: TransIndex | None = None):
 
 def crf_viterbi(trans, nblocks, nbase: int, idx: TransIndex | None = None):
     """Full Viterbi decode: (score [B], path [B, T+1], qpath [B, T+1])."""
+    if _impl() == "scanb":
+        from .crf_bm import decode_bm
+
+        score, path, qpath, _ = decode_bm(
+            trans, nblocks, nbase, viterbi_only=True, compute_trace=False,
+            idx=idx,
+        )
+        return score, path, qpath
     score, last_state, backptr = crf_viterbi_forward(trans, nblocks, nbase, idx=idx)
     path = viterbi_traceback(backptr, last_state, nblocks)
     qpath = qpath_from_path(trans, path, nbase, idx=idx)
     return score, path, qpath
+
+
+def crf_decode_fused(trans, nblocks, nbase: int, viterbi_only: bool, compute_trace: bool, idx: TransIndex | None = None):
+    """One-call decode: (score, path [B,T+1] i32, qpath f32, trace u8).
+
+    In fb mode the Viterbi runs over the per-block-normalised
+    transition posterior (src/flappie.c:276-300 semantics); the trace
+    is built from exp() of whichever matrix was decoded.  Dispatches
+    the whole chain to the batch-minor fast path when selected.
+    """
+    idx = idx if idx is not None else flipflop_index(nbase)
+    if _impl() == "scanb":
+        from .crf_bm import decode_bm
+
+        return decode_bm(trans, nblocks, nbase, viterbi_only, compute_trace, idx=idx)
+    mat = trans if viterbi_only else crf_transpost(
+        trans, nblocks, nbase, return_log=True, idx=idx
+    )
+    score, path, qpath = crf_viterbi(mat, nblocks, nbase, idx=idx)
+    if compute_trace:
+        trace = trace_from_posterior(jnp.exp(mat), nbase, idx=idx)
+    else:
+        trace = jnp.zeros((trans.shape[0], 1, idx.nstate), jnp.uint8)
+    return score, path, qpath, trace
 
 
 M_LOG10E = 0.43429448190325182765  # glibc math.h

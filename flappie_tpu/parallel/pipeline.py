@@ -82,27 +82,18 @@ class DistributedBasecaller(Basecaller):
             out = tuple(x[:B] for x in out)
         return out
 
-    def call_chunk_batch_device(self, signals, lengths, qlo, qhi):
+    def dispatch_packed_chunk(self, buf):
         # The chunked production path shards the same way: chunks are
-        # independent rows, so DP over the chunk-batch axis.
-        B = np.shape(signals)[0]
+        # independent rows, so DP over the (packed) chunk-batch axis.
+        B = np.shape(buf)[0]
         pad = (-B) % self.n_data
         if pad:
-            signals = np.concatenate(
-                [signals, np.zeros((pad,) + np.shape(signals)[1:], np.float32)],
-                axis=0,
-            )
-            lengths = np.concatenate([np.asarray(lengths, np.int32), np.zeros(pad, np.int32)])
-            qlo = np.concatenate([np.asarray(qlo, np.int32), np.zeros(pad, np.int32)])
-            qhi = np.concatenate([np.asarray(qhi, np.int32), np.zeros(pad, np.int32)])
+            filler = np.zeros((pad, np.shape(buf)[1]), np.float32)
+            filler[:, -4] = 1.0  # dummy length (qlo=qhi=0)
+            buf = np.concatenate([np.asarray(buf, np.float32), filler], axis=0)
         s = batch_sharding(self.mesh)
         with self.mesh:
-            out = super().call_chunk_batch_device(
-                jax.device_put(jnp.asarray(signals), s),
-                jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)), s),
-                jax.device_put(jnp.asarray(np.asarray(qlo, np.int32)), s),
-                jax.device_put(jnp.asarray(np.asarray(qhi, np.int32)), s),
+            out = super().dispatch_packed_chunk(
+                jax.device_put(jnp.asarray(buf), s)
             )
-        if pad:
-            out = tuple(x[:B] for x in out)
-        return out
+        return out[:B] if pad else out
