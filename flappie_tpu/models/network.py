@@ -43,8 +43,10 @@ def _conv_impl() -> str:
     """FLAPPIE_TPU_CONV_IMPL: ``xla`` (lax.conv NWC — the parity
     reference), ``fast`` (channels-major shifted-sum + im2col, see
     ops/conv.conv1d_same_ct: the early layers' 1–16 channels pad to the
-    128-lane width in NWC, wasting up to 128x of every vector op), or
-    ``auto`` (fast on TPU, xla elsewhere)."""
+    128-lane width in NWC, wasting up to 128x of every vector op),
+    ``pallas`` (``fast`` with the two leading stride-1 swish convs as
+    one fused kernel, ops/conv_pallas.py), or ``auto`` (fast on TPU,
+    xla elsewhere)."""
     import os
 
     v = os.environ.get("FLAPPIE_TPU_CONV_IMPL", "auto")
@@ -55,10 +57,39 @@ def _conv_impl() -> str:
     return v
 
 
-def _conv_stack_fast(params, cfg: ModelConfig, x, lengths):
+def _conv_stack_fast(params, cfg: ModelConfig, x, lengths, fuse12: bool = False):
     """Channels-major conv stack: stride-1 layers stay [B, C, T] (time
-    on lanes), the strided layer emits the RNN stack's [B, T', C]."""
+    on lanes), the strided layer emits the RNN stack's [B, T', C].
+
+    With ``fuse12`` (impl "pallas") the two leading stride-1 swish
+    convs run as ONE fused Pallas kernel (ops/conv_pallas.py)."""
     from ..ops.conv import conv1d_same_ct, conv1d_strided_ct
+
+    if (
+        fuse12
+        and len(cfg.convs) == 3
+        and cfg.convs[0].stride == 1
+        and cfg.convs[1].stride == 1
+        and cfg.convs[0].activation == cfg.convs[1].activation == "swish"
+        and cfg.convs[0].winlen == cfg.convs[1].winlen == 5
+        and (cfg.convs[0].in_ch, cfg.convs[0].out_ch, cfg.convs[1].out_ch)
+        == (1, 4, 16)
+    ):
+        from ..ops.conv_pallas import conv12_fused
+
+        y2 = conv12_fused(
+            x[..., 0],
+            params["conv0"]["W"], params["conv0"]["b"],
+            params["conv1"]["W"], params["conv1"]["b"],
+            lengths,
+        )  # [B, 16, T] masked
+        c3 = cfg.convs[2]
+        y = ACTIVATIONS[c3.activation](
+            conv1d_strided_ct(y2, params["conv2"]["W"], params["conv2"]["b"],
+                              c3.stride, lengths)
+        )
+        lengths = ceil_div(lengths, c3.stride)
+        return mask_tail(y, lengths), lengths
 
     xc = jnp.swapaxes(x, 1, 2)  # [B, C=1, T]
     for i, c in enumerate(cfg.convs):
@@ -84,8 +115,9 @@ def _conv_stack_fast(params, cfg: ModelConfig, x, lengths):
 
 def conv_stack(params, cfg: ModelConfig, x, lengths):
     """x: [B, T, 1] float32, lengths: [B] -> (y [B, T', C], lengths')."""
-    if _conv_impl() == "fast" and cfg.convs[-1].stride > 1:
-        return _conv_stack_fast(params, cfg, x, lengths)
+    impl = _conv_impl()
+    if impl in ("fast", "pallas") and cfg.convs[-1].stride > 1:
+        return _conv_stack_fast(params, cfg, x, lengths, fuse12=(impl == "pallas"))
     for i, c in enumerate(cfg.convs):
         W = params[f"conv{i}"]["W"]
         b = params[f"conv{i}"]["b"]

@@ -205,3 +205,58 @@ def test_conv_stack_fast_matches_xla(model, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_fast), np.asarray(y_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_conv12_fused_kernel_matches_xla_chain():
+    """ops/conv_pallas.py (interpret mode on CPU): the fused conv1+2
+    kernel must match the XLA chain including per-read masking, and its
+    custom VJP must differentiate (training paths run through it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flappie_tpu.ops.conv_pallas import _conv12_pallas, _conv12_xla, conv12_fused
+
+    rng = np.random.default_rng(0)
+    B, T = 8, 512
+    x = rng.normal(size=(B, T)).astype(np.float32)
+    lengths = np.array([512, 400, 77, 3, 512, 256, 100, 511], np.int32)
+    for b in range(B):
+        x[b, lengths[b]:] = 0
+    W1 = (rng.normal(size=(5, 1, 4)) * 0.5).astype(np.float32)
+    b1 = (rng.normal(size=4) * 0.1).astype(np.float32)
+    W2 = (rng.normal(size=(5, 4, 16)) * 0.3).astype(np.float32)
+    b2 = (rng.normal(size=16) * 0.1).astype(np.float32)
+    args = [jnp.asarray(v) for v in (x, W1, b1, W2, b2, lengths)]
+
+    y_p = np.asarray(_conv12_pallas(*args, interpret=True))
+    y_x = np.asarray(_conv12_xla(*args))
+    np.testing.assert_allclose(y_p, y_x, atol=5e-6)
+
+    # VJP falls back to the XLA chain: grads exist and are finite
+    def loss(x, W1, b1, W2, b2):
+        return jnp.sum(conv12_fused(x, W1, b1, W2, b2, args[5]) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_chunked_5mc_matches_full_read():
+    """The stride-2 5mC model (grumod body, 5 bases) chunks by default
+    above 5,120 samples; its chunked pipeline must reproduce the
+    full-read sequence on the fixture like the stride-5 family."""
+    cfg = _shrink("r941_5mC")
+    params = init_synthetic(cfg, seed=21)
+    T = 16000
+    raw = _tiled(RAW, T)
+    full = Basecaller(cfg, params=params, chunk=0, compute_trace=False)
+    chk = Basecaller(cfg, params=params, compute_trace=False)  # default chunking
+    assert chk.chunk == 5120
+    a = full.basecall_read(_rt(raw, T))
+    b = chk.basecall_read(_rt(raw, T))
+    assert a.nblock == b.nblock
+    assert b.basecall == a.basecall
+    qa = np.frombuffer(a.quality.encode(), np.uint8).astype(int)
+    qb = np.frombuffer(b.quality.encode(), np.uint8).astype(int)
+    assert np.abs(qa - qb).max() <= 1
+    assert abs(a.score - b.score) < 0.02

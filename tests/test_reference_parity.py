@@ -108,6 +108,11 @@ def _our_flipflop(raw, o):
         temperature=o.get("temperature") or 1.0,
         viterbi_only=bool(o.get("viterbi")),
         compute_trace=True,
+        # byte-parity is defined on the full-read serial path; the
+        # chunked fast path (which the stride-aware default would give
+        # the 12k-sample fixture on stride-2 models) has its own
+        # equivalence contract in tests/test_chunked.py
+        chunk=0,
     )
     rt = RawTable(UUID, raw.size, 0, raw.size, raw.copy())
     trim = o.get("trim") or (200, 10)
