@@ -109,6 +109,29 @@ def _device_basecall_fwd(params, signal, lengths, cfg: ModelConfig, temperature:
 
 
 @partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_packed(params, buf, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
+    """Packed-I/O bucket program (the short-read path): one
+    [B, bucket+4] f32 array in (signal + float-encoded length; the
+    other metadata slots are unused here), one byte matrix out in the
+    same layout the chunked program uses -- every transfer through a
+    tunneled device is a blocking round trip, so both paths ship one
+    array each way."""
+    sig = buf[:, :-4]
+    lengths = buf[:, -4].astype(jnp.int32)
+    score, path, qchar, nblocks, trace = _device_basecall(
+        params, sig, lengths, cfg, temperature, viterbi_only, compute_trace,
+        rnn_impl,
+    )
+    B = path.shape[0]
+    parts = [path.astype(jnp.uint8), qchar]
+    if compute_trace:
+        parts.append(trace.reshape(B, -1))
+    parts.append(jax.lax.bitcast_convert_type(score, jnp.uint8).reshape(B, 4))
+    parts.append(jax.lax.bitcast_convert_type(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4))
+    return jnp.concatenate(parts, axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
 def _device_basecall_chunk(params, signal, lengths, qlo, qhi, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
     """Fused forward + decode for the chunked production path.
 
@@ -298,7 +321,8 @@ class Basecaller:
 
         # Dispatch ahead: keep PIPELINE_DEPTH batches in flight before
         # materialising, so host assembly, transfers and the device
-        # launch round trip all overlap compute (JAX async dispatch).
+        # launch round trip all overlap compute (JAX async dispatch);
+        # one packed array each way per batch.
         def _dispatch(chunk, bucket):
             B = len(chunk)
             sig = np.zeros((B, bucket), F32)
@@ -307,13 +331,21 @@ class Basecaller:
                 seg = rt.active()
                 sig[j, : seg.size] = seg
                 lengths[j] = seg.size
-            return chunk, self.call_batch_device(sig, lengths)
+            return (chunk, bucket), self.dispatch_packed_batch(
+                self.pack_chunk_inputs(sig, lengths, np.zeros(B, np.int32),
+                                       np.zeros(B, np.int32))
+            )
 
-        def _collect(chunk, out):
-            score, path, qpath, nblocks, trace = out
+        def _collect(tag, out):
+            chunk, bucket = tag
+            T1 = -(-bucket // self.cfg.total_stride) + 1
+            score, path, qpath, nblocks, trace = _unpack_chunk_outputs(
+                out, T1, self.cfg.nstate, self.compute_trace
+            )
             for j, (i, rt) in enumerate(chunk):
                 results[i] = self._assemble(
-                    rt, score[j], path[j], qpath[j], int(nblocks[j]), trace[j], reverse
+                    rt, score[j], path[j], qpath[j], int(nblocks[j]),
+                    None if trace is None else trace[j], reverse,
                 )
 
         pipe = _Pipeline(_collect)
@@ -350,6 +382,18 @@ class Basecaller:
         unpack with unpack_chunk_outputs."""
         return self.dispatch_packed_chunk(
             self.pack_chunk_inputs(signals, lengths, qlo, qhi)
+        )
+
+    def dispatch_packed_batch(self, buf):
+        """Packed-I/O dispatch of one legacy (bucketed) batch."""
+        return _device_basecall_packed(
+            self.params,
+            jnp.asarray(buf),
+            self.cfg,
+            self.temperature,
+            self.viterbi_only,
+            self.compute_trace,
+            self.rnn_impl,
         )
 
     def dispatch_packed_chunk(self, buf):

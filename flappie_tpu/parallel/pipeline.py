@@ -82,9 +82,9 @@ class DistributedBasecaller(Basecaller):
             out = tuple(x[:B] for x in out)
         return out
 
-    def dispatch_packed_chunk(self, buf):
-        # The chunked production path shards the same way: chunks are
-        # independent rows, so DP over the (packed) chunk-batch axis.
+    def _shard_packed(self, buf, dispatch):
+        # Packed batches shard row-wise: rows are independent reads or
+        # chunks, so DP over the batch axis.
         B = np.shape(buf)[0]
         pad = (-B) % self.n_data
         if pad:
@@ -93,7 +93,11 @@ class DistributedBasecaller(Basecaller):
             buf = np.concatenate([np.asarray(buf, np.float32), filler], axis=0)
         s = batch_sharding(self.mesh)
         with self.mesh:
-            out = super().dispatch_packed_chunk(
-                jax.device_put(jnp.asarray(buf), s)
-            )
+            out = dispatch(jax.device_put(jnp.asarray(buf), s))
         return out[:B] if pad else out
+
+    def dispatch_packed_chunk(self, buf):
+        return self._shard_packed(buf, super().dispatch_packed_chunk)
+
+    def dispatch_packed_batch(self, buf):
+        return self._shard_packed(buf, super().dispatch_packed_batch)
