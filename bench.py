@@ -120,8 +120,8 @@ def main() -> int:
     _ = np.asarray(caller.dispatch_packed_chunk(chunk_batches[0]))
 
     # The chip may be time-shared (and the first epoch can still hit
-    # cold caches); report the best of two steady-state epochs.
-    epochs = [chunked_epoch(caller, chunk_batches, samples, reps) for _ in range(2)]
+    # cold caches); report the best of three steady-state epochs.
+    epochs = [chunked_epoch(caller, chunk_batches, samples, reps) for _ in range(3)]
     sps = max(epochs)
 
     baseline = _baseline_sps()
