@@ -47,6 +47,37 @@ def _device_runnie(params, signal, lengths, cfg, temperature, viterbi_only):
     return nblocks, score, path.astype(jnp.int8), shape_sel, scale_sel
 
 
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only"))
+def _device_runnie_packed(params, buf, cfg, temperature, viterbi_only):
+    """One [B, bucket+4] f32 array in, one byte matrix out (every
+    transfer through a tunneled device is a blocking round trip):
+    [B, T path | 4T shape f32 | 4T scale f32 | 4 nblocks i32]."""
+    sig = buf[:, :-4]
+    lengths = buf[:, -4].astype(jnp.int32)
+    nblocks, _, path, shape_sel, scale_sel = _device_runnie(
+        params, sig, lengths, cfg, temperature, viterbi_only
+    )
+    B, T = path.shape
+    bc = jax.lax.bitcast_convert_type
+    return jnp.concatenate(
+        [
+            path.astype(jnp.uint8),
+            bc(shape_sel, jnp.uint8).reshape(B, 4 * T),
+            bc(scale_sel, jnp.uint8).reshape(B, 4 * T),
+            bc(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_runnie(buf: np.ndarray, T: int):
+    path = buf[:, :T].astype(np.int8)
+    shape_sel = buf[:, T : 5 * T].copy().view(np.float32)
+    scale_sel = buf[:, 5 * T : 9 * T].copy().view(np.float32)
+    nblocks = buf[:, 9 * T : 9 * T + 4].copy().view(np.int32)[:, 0]
+    return nblocks, path, shape_sel, scale_sel
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="runnie", description="Runnie basecaller -- basecall from raw signal"
@@ -115,27 +146,31 @@ def main(argv=None) -> int:
     for pos, rt in prepped:
         by_bucket.setdefault(bucket_length(rt.active().size), []).append((pos, rt))
 
+    from ..basecall import Basecaller, _Pipeline
+
     def _dispatch(items, bucket):
         B = len(items)
-        buf = np.zeros((B, bucket), np.float32)
+        sig = np.zeros((B, bucket), np.float32)
         lengths = np.zeros(B, np.int32)
         for j, (_, rt) in enumerate(items):
             seg = rt.active()
-            buf[j, : seg.size] = seg
+            sig[j, : seg.size] = seg
             lengths[j] = seg.size
-        return items, _device_runnie(
-            params, jnp.asarray(buf), jnp.asarray(lengths), cfg,
-            args.temperature, args.viterbi,
+        buf = Basecaller.pack_chunk_inputs(
+            sig, lengths, np.zeros(B, np.int32), np.zeros(B, np.int32)
+        )
+        return (items, bucket), _device_runnie_packed(
+            params, jnp.asarray(buf), cfg, args.temperature, args.viterbi
         )
 
-    def _collect(items, dev):
-        nblocks, _, path, shape_sel, scale_sel = dev
+    def _collect(tag, out):
+        items, bucket = tag
+        T = -(-bucket // cfg.total_stride)
+        nblocks, path, shape_sel, scale_sel = _unpack_runnie(out, T)
         for j, (pos, _) in enumerate(items):
             results[pos] = runs_from_selected(
                 path[j], shape_sel[j], scale_sel[j], int(nblocks[j]), cfg.nbase
             )
-
-    from ..basecall import _Pipeline
 
     pipe = _Pipeline(_collect)
     for bucket, items in sorted(by_bucket.items()):
