@@ -82,10 +82,12 @@ def main(argv=None) -> int:
     with open(args.file, "r") as fh:
         if args.threads > 1:
             # worker Pool exactly like the reference
-            # (misc/decode_runnie.py:139); imap preserves input order
-            from multiprocessing import Pool
+            # (misc/decode_runnie.py:139); imap preserves input order.
+            # Spawn context: a fork()ed child of a process that has
+            # loaded JAX (multithreaded) can deadlock.
+            import multiprocessing as mp
 
-            with Pool(args.threads) as pool:
+            with mp.get_context("spawn").Pool(args.threads) as pool:
                 for name, basecall in pool.imap(_decode_one, jobs(fh)):
                     emit(name, basecall)
         else:

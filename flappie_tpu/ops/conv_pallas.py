@@ -30,13 +30,12 @@ for a sublane-shift formulation; `auto` does not select it.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 PAD = 4  # left+right extension so y1 exists on [-2, T+2)
 
