@@ -320,3 +320,56 @@ def test_mixed_batch_one_bad_read_others_survive(tmp_path, capsys):
     text = out.read_text()
     assert text.startswith("@good-read")
     assert "No basecall returned" in capsys.readouterr().err
+
+
+def test_packed_io_layout_roundtrip():
+    """The packed device-I/O byte layouts are load-bearing (one array
+    each way through the tunnel): pin pack/unpack and the packed
+    programs against their unpacked equivalents."""
+    import jax.numpy as jnp
+
+    from flappie_tpu.basecall import (
+        Basecaller,
+        _device_basecall,
+        _device_basecall_packed,
+        _unpack_chunk_outputs,
+    )
+    from tests.ref_harness.parity_models import _shrink
+    from flappie_tpu.models.params import init_synthetic
+
+    cfg = _shrink("r941_native")
+    params = init_synthetic(cfg, seed=3)
+    import jax
+
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(0)
+    B, T = 3, 2048
+    sig = rng.normal(size=(B, T)).astype(np.float32)
+    lengths = np.array([2048, 1999, 640], np.int32)
+    for b in range(B):
+        sig[b, lengths[b]:] = 0
+
+    for compute_trace in (False, True):
+        want = tuple(
+            np.asarray(x)
+            for x in _device_basecall(
+                params, jnp.asarray(sig), jnp.asarray(lengths), cfg, 1.0,
+                False, compute_trace,
+            )
+        )
+        buf = Basecaller.pack_chunk_inputs(
+            sig, lengths, np.zeros(B, np.int32), np.zeros(B, np.int32)
+        )
+        packed = np.asarray(_device_basecall_packed(
+            params, jnp.asarray(buf), cfg, 1.0, False, compute_trace,
+        ))
+        T1 = -(-T // cfg.total_stride) + 1
+        score, path, qchar, nblocks, trace = _unpack_chunk_outputs(
+            packed, T1, cfg.nstate, compute_trace
+        )
+        np.testing.assert_array_equal(score, want[0])
+        np.testing.assert_array_equal(path, want[1])
+        np.testing.assert_array_equal(qchar, want[2])
+        np.testing.assert_array_equal(nblocks, want[3])
+        if compute_trace:
+            np.testing.assert_array_equal(trace, want[4])
