@@ -160,7 +160,8 @@ def _rnn_stack_fused_tm(params, cfg: ModelConfig, x, lengths):
         if r.backward:
             y = reverse_sequence_tm(y, lengths)
         x_tm = mask_tail_tm(y, lengths)
-    return jnp.swapaxes(x_tm, 0, 1)
+    # bf16 stream mode keeps inter-layer arrays bf16; the head runs f32
+    return jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)
 
 
 def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):

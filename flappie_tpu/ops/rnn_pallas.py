@@ -217,18 +217,18 @@ def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h
             preferred_element_type=jnp.float32,
         )
         + b_ref[:]
-    ).reshape(K, B, 4 * H)
+    ).reshape(K, B, 4 * H).astype(xa_ref.dtype)
 
     def step(k, carry):
         h, c = carry
-        xF = xa_ref[k] + rdot(h)
+        xF = xa_ref[k].astype(jnp.float32) + rdot(h)
         u = jax.nn.sigmoid(xF[:, :H])
         f = jax.nn.sigmoid(xF[:, H : 2 * H])
         g = jnp.tanh(xF[:, 2 * H : 3 * H])
         o = jax.nn.sigmoid(xF[:, 3 * H :])
         c = f * c + u * g
         h = o * jnp.tanh(c)
-        out_ref[k] = h
+        out_ref[k] = h.astype(out_ref.dtype)
         return h, c
 
     h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
@@ -255,26 +255,48 @@ def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
             preferred_element_type=jnp.float32,
         )
         + b_ref[:]
-    ).reshape(K, B, 3 * H)
+    ).reshape(K, B, 3 * H).astype(xa_ref.dtype)
 
     def step(k, h):
-        x = xa_ref[k]
+        x = xa_ref[k].astype(jnp.float32)
         v = rdot(h)
         z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
         r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
         hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
         h = z * h + (1 - z) * hbar
-        out_ref[k] = h
+        out_ref[k] = h.astype(out_ref.dtype)
         return h
 
     h_ref[:] = lax.fori_loop(0, K, step, h_ref[:], unroll=True)
 
 
-def _fused_time_block(B: int, IN: int, GH: int, H: int) -> int:
+def _stream_dtype():
+    """FLAPPIE_TPU_RNN_STREAM: dtype the fused kernels stream layer
+    inputs at.  ``f32`` (default, reference-exact input path) or
+    ``bf16``: the x blocks are cast once on the way in, halving the
+    dominant HBM->VMEM DMA per grid step and doubling the time block
+    the VMEM budget allows.  The input affine then runs as one bf16 MXU
+    pass (the operands are already bf16-truncated, so extra passes
+    would only refine bits the cast discarded); recurrent state and the
+    step matmul stay at the FLAPPIE_TPU_RNN_PRECISION policy."""
+    import os
+
+    return os.environ.get("FLAPPIE_TPU_RNN_STREAM", "f32").lower()
+
+
+def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int) -> int:
     """Largest power-of-two K whose VMEM working set fits: 2 x-blocks
-    [K, B, IN], 2 out-blocks [K, B, H], the block affine [K, B, GH]."""
-    per_k = 4 * B * (2 * IN + 2 * H + GH)
-    K = 16
+    [K, B, IN], 2 out-blocks [K, B, H], the block affine [K, B, GH].
+    FLAPPIE_TPU_RNN_K overrides (measurement knob)."""
+    import os
+
+    force = os.environ.get("FLAPPIE_TPU_RNN_K")
+    if force:
+        return int(force)
+    # 2 x-blocks + 2 out-blocks (double-buffered) + the single block
+    # affine scratch; all three share the stream dtype.
+    per_k = B * (2 * xbytes * IN + 2 * xbytes * H + xbytes * GH)
+    K = 32
     while K > 1 and K * per_k > VMEM_BUDGET:
         K //= 2
     return K
@@ -301,13 +323,23 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
     H = GH // gates
     if interpret is None:
         interpret = _use_interpret()
-    K = _fused_time_block(B, IN, GH, H)
+    stream = _stream_dtype()
+    if stream == "bf16":
+        x_tm = x_tm.astype(jnp.bfloat16)
+        iW = iW.astype(jnp.bfloat16)
+        ffprec = lax.Precision.DEFAULT
+        xa_dtype = jnp.bfloat16
+        xbytes = 2
+    else:
+        xa_dtype = jnp.float32
+        xbytes = 4
+    K = _fused_time_block(B, IN, GH, H, xbytes)
     Tpad = -(-T // K) * K
     if Tpad != T:
         x_tm = jnp.pad(x_tm, ((0, Tpad - T), (0, 0), (0, 0)))
 
     scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
-    scratch.append(pltpu.VMEM((K, B, GH), jnp.float32))  # block affine
+    scratch.append(pltpu.VMEM((K, B, GH), xa_dtype))  # block affine
     out = pl.pallas_call(
         functools.partial(kernel, ffprec, rnnprec),
         grid=(Tpad // K,),
@@ -318,7 +350,7 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
             pl.BlockSpec((H, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tpad, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tpad, B, H), xa_dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(x_tm, iW, b, sW)
@@ -326,7 +358,13 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
 
 
 def lstm_layer_tm(x_tm, iW, b, sW, interpret=None):
-    """Fused input-affine + LSTM recurrence, time-major in/out."""
+    """Fused input-affine + LSTM recurrence, time-major in/out.
+
+    In bf16 stream mode (see _stream_dtype) the output is bf16: the
+    next layer consumes it directly, so inter-layer HBM traffic is
+    halved end to end and no cast passes materialise.  Recurrent state
+    and the step matmul accumulate in f32 regardless.
+    """
     return _run_fused(_lstm_fused_kernel, x_tm, iW, b, sW, 4, 2, interpret)
 
 

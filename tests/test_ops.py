@@ -326,6 +326,38 @@ def test_pallas_fused_layer_matches_affine_plus_scan(kind, T):
     )
 
 
+@pytest.mark.parametrize("kind", ["lstm", "grumod"])
+def test_pallas_fused_layer_bf16_stream(kind, monkeypatch):
+    """FLAPPIE_TPU_RNN_STREAM=bf16 (the TPU speed mode): output is bf16
+    and tracks the f32 reference within the bf16 rounding envelope.
+    State and the step matmul stay f32, so error does not compound."""
+    from flappie_tpu.ops import rnn_pallas
+
+    B, T, IN, H = 3, 32, 8, 16
+    gates = 4 if kind == "lstm" else 3
+    x = rnd(B, T, IN)
+    iW = rnd(IN, gates * H, scale=0.3)
+    bias = rnd(gates * H, scale=0.2)
+    sW = rnd(H, gates * H, scale=0.3)
+    xa = rnn_ops.affine(jnp.asarray(x), jnp.asarray(iW), jnp.asarray(bias))
+    base = {"lstm": rnn_ops.lstm_seq, "grumod": rnn_ops.grumod_seq}[kind]
+    want = np.asarray(base(xa, jnp.asarray(sW)))
+    fused = {
+        "lstm": rnn_pallas.lstm_layer_tm,
+        "grumod": rnn_pallas.grumod_layer_tm,
+    }[kind]
+    monkeypatch.setenv("FLAPPIE_TPU_RNN_STREAM", "bf16")
+    got = fused(
+        jnp.swapaxes(jnp.asarray(x), 0, 1), jnp.asarray(iW),
+        jnp.asarray(bias), jnp.asarray(sW), interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    got = np.swapaxes(np.asarray(got, dtype=np.float32), 0, 1)
+    # inputs and outputs round to 8 mantissa bits; |h| <= 1
+    np.testing.assert_allclose(want, got, atol=0.05)
+    assert np.abs(want - got).mean() < 0.01
+
+
 def test_rnn_stack_fused_matches_scan_path():
     """network.rnn_stack 'pallas' (fused time-major, interpret mode on
     CPU) == 'scan' path, with backward layers and masked tails."""
