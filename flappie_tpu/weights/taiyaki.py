@@ -53,10 +53,21 @@ def convert_state_dict(
 ) -> Params:
     """Map a torch-style state dict onto ``cfg``'s parameter layout.
 
-    Accepted key patterns per layer index i (first match wins):
-    - conv{i}: ``*conv{i+1}*.weight`` / ``sublayers.{i}.conv.weight`` /
-      ``conv.weight`` (single conv)
-    - rnn{i}:  ``*lstm*weight_ih_l0`` etc. in layer order
+    Conv layers are discovered by scanning ``*.conv.weight`` keys in
+    sublayer order (real taiyaki checkpoints keep a leading
+    parameterless DeltaSample layer, so the conv sublayer indices start
+    at 1 — the exporter strips it at misc/taiyaki_flipflop5_guppy.py:
+    111-113 but the *state dict* still numbers around it); ``conv{i}``
+    style names are a fallback.  Recurrent layers are the
+    ``weight_ih_l0`` keys in sublayer order (backward layers sit under
+    a Reverse wrapper's ``.layer.`` prefix, which sorts the same).
+    ``bias_hh_l0`` keys are ignored exactly as the exporter ignores
+    them (print_lstm reads bias_ih_l0 only).
+
+    ``scale_first_conv`` mirrors the exporter's ``--scale`` flag, which
+    multiplies EVERY conv weight by 1.4826
+    (misc/taiyaki_flipflop5_guppy.py:86-95 — print_convolution is
+    called with scale=args.scale for all three convs).
     """
     keys = list(state.keys())
 
@@ -68,15 +79,22 @@ def convert_state_dict(
                     return k
         raise KeyError(f"no state-dict key matching any of {patterns}")
 
+    def sublayer_index(k):
+        nums = re.findall(r"\d+", k)
+        return int(nums[0]) if nums else 0
+
     flat: Dict[str, np.ndarray] = {}
-    nconv = len(cfg.convs)
+    conv_keys = sorted(
+        (k for k in keys if re.search(r"(^|\.)conv\.weight$", k)),
+        key=sublayer_index,
+    )
     for i, c in enumerate(cfg.convs):
-        if nconv == 1:
-            wkey = find([r"conv\.weight$"])
+        if i < len(conv_keys):
+            wkey = conv_keys[i]
         else:
-            wkey = find([rf"(sublayers\.)?{i}\.conv\.weight$", rf"conv{i+1}\D*\.weight$"])
+            wkey = find([rf"conv{i+1}\D*\.weight$"])
         W = np.asarray(state[wkey], dtype=np.float32)  # [nfilter, nf, winlen]
-        if i == 0 and scale_first_conv:
+        if scale_first_conv:
             W = W * np.float32(MAD_SCALE)
         flat[f"conv{i}/W"] = W.transpose(2, 1, 0).copy()
         flat[f"conv{i}/b"] = np.asarray(

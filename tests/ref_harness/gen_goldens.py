@@ -25,6 +25,10 @@ ORACLE = "/tmp/flappie_oracle/oracle"
 # Production-width oracle (build with FLAPPIE_TPU_PARITY_HID=256
 # FLAPPIE_ORACLE_DIR=/tmp/flappie_oracle_h256 sh tests/ref_harness/build_oracle.sh)
 ORACLE_H256 = "/tmp/flappie_oracle_h256/oracle"
+# Converter-chain oracle: r941 weights flow torch checkpoint ->
+# weights/taiyaki.py -> header_emit (build with FLAPPIE_TPU_PARITY_CKPT=1
+# FLAPPIE_ORACLE_DIR=/tmp/flappie_oracle_ckpt sh tests/ref_harness/build_oracle.sh)
+ORACLE_CKPT = "/tmp/flappie_oracle_ckpt/oracle"
 GOLDENS = os.path.join(os.path.dirname(__file__), "..", "goldens")
 RAW_CRP = "/root/reference/src/test/raw_signal.crp"
 
@@ -49,6 +53,11 @@ CASES = {
     # depth than H=64; this case certifies the parity bands at H=256
     "ff_fb_fastq_h256": dict(model="r941_native", format="fastq",
                              dump=True, hid=256),
+    # real-weights loop: H=256 weights that flowed through the torch
+    # checkpoint -> taiyaki converter -> header emit chain on the
+    # oracle side, and checkpoint -> converter -> Basecaller on ours
+    "ff_ckpt_fastq": dict(model="r941_native", format="fastq",
+                          dump=True, hid=256, ckpt=True),
 }
 
 NSAMPLE = 12000
@@ -74,7 +83,12 @@ def main() -> None:
         manifest = {"uuid": UUID, "readname": READNAME, "nsample": NSAMPLE,
                     "cases": {}}
         for case, opts in CASES.items():
-            oracle = ORACLE_H256 if opts.get("hid") == 256 else ORACLE
+            if opts.get("ckpt"):
+                oracle = ORACLE_CKPT
+            elif opts.get("hid") == 256:
+                oracle = ORACLE_H256
+            else:
+                oracle = ORACLE
             cmd = [oracle, "--signal", sig, "--uuid", UUID,
                    "--readname", READNAME, "--model", opts["model"]]
             if opts["format"] != "run":
