@@ -59,23 +59,78 @@ PIPELINE_DEPTH = 8
 
 class _Pipeline:
     """Dispatch-ahead queue: push (tag, device_out) pairs, collect
-    materialised (tag, numpy_outs) once the queue exceeds depth."""
+    materialised (tag, numpy_outs) once the queue exceeds depth.
 
-    def __init__(self, collect, depth: int = PIPELINE_DEPTH):
+    ``on_error(tag, exc)``, when given, absorbs materialise/collect
+    failures so one bad batch degrades to its own reads instead of
+    killing the whole run (reference NULL-propagation style,
+    src/flappie_stdlib.h:37-45)."""
+
+    def __init__(self, collect, depth: int = PIPELINE_DEPTH, on_error=None):
         self._collect = collect
         self._depth = depth
+        self._on_error = on_error
         self._q: list = []
+
+    def _run(self, tag, out) -> None:
+        try:
+            self._collect(tag, jax.tree.map(np.asarray, out))
+        except Exception as exc:  # noqa: BLE001 - per-batch isolation
+            if self._on_error is None:
+                raise
+            self._on_error(tag, exc)
 
     def push(self, tag, out) -> None:
         self._q.append((tag, out))
         if len(self._q) > self._depth:
-            tag, out = self._q.pop(0)
-            self._collect(tag, jax.tree.map(np.asarray, out))
+            self._run(*self._q.pop(0))
 
     def drain(self) -> None:
         for tag, out in self._q:
-            self._collect(tag, jax.tree.map(np.asarray, out))
+            self._run(tag, out)
         self._q.clear()
+
+
+# -- fault injection inside the batched device paths ------------------------
+#
+# The reference's CHAOSMONKEY makes every allocation a failure point
+# (src/flappie_stdlib.h:18-35); the analogous failure points of the
+# batched TPU pipeline are corrupt reads INSIDE a packed batch and
+# failed dispatches.  FLAPPIE_TPU_CHAOS_DEVICE=p corrupts each
+# preprocessed read with probability p (alternating NaN signal /
+# zero-length); FLAPPIE_TPU_CHAOS_DISPATCH=p fails each device dispatch
+# with probability p.  Both degrade to "No basecall returned" for the
+# affected reads while the rest of the batch/run continues.
+
+_chaos_counter = [0]
+
+
+def _chaos_p(var: str) -> float:
+    import os
+
+    v = os.environ.get(var)
+    return float(v) if v else 0.0
+
+
+def _chaos_corrupt_reads(processed) -> None:
+    p = _chaos_p("FLAPPIE_TPU_CHAOS_DEVICE")
+    if not p:
+        return
+    rng = np.random.default_rng()
+    for rt in processed:
+        if rt is None or rng.random() >= p:
+            continue
+        _chaos_counter[0] += 1
+        if _chaos_counter[0] % 2 == 1 and rt.end > rt.start:
+            rt.raw[rt.start : rt.end] = np.nan
+        else:
+            rt.end = rt.start  # zero-length active window
+
+
+def _chaos_maybe_fail_dispatch() -> None:
+    p = _chaos_p("FLAPPIE_TPU_CHAOS_DISPATCH")
+    if p and np.random.default_rng().random() < p:
+        raise RuntimeError("chaos: injected dispatch failure")
 
 
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
@@ -302,6 +357,7 @@ class Basecaller:
             varseg_thresh=varseg_thresh,
             delta=delta,
         )
+        _chaos_corrupt_reads(processed)
         prepped = [(i, rt) for i, rt in enumerate(processed) if rt is not None]
         results: List[Optional[BasecallResult]] = [None] * len(reads)
 
@@ -348,10 +404,21 @@ class Basecaller:
                     None if trace is None else trace[j], reverse,
                 )
 
-        pipe = _Pipeline(_collect)
+        def _on_error(tag, exc):
+            import sys
+
+            chunk, _bucket = tag
+            print(f"basecall batch failed ({exc}); dropping "
+                  f"{len(chunk)} read(s)", file=sys.stderr)
+
+        pipe = _Pipeline(_collect, on_error=_on_error)
         for bucket, items in sorted(by_bucket.items()):
             for ofs in range(0, len(items), max_batch):
-                pipe.push(*_dispatch(items[ofs : ofs + max_batch], bucket))
+                part = items[ofs : ofs + max_batch]
+                try:
+                    pipe.push(*_dispatch(part, bucket))
+                except Exception as exc:  # noqa: BLE001 - batch isolation
+                    _on_error((part, bucket), exc)
         pipe.drain()
         return results
 
@@ -386,6 +453,7 @@ class Basecaller:
 
     def dispatch_packed_batch(self, buf):
         """Packed-I/O dispatch of one legacy (bucketed) batch."""
+        _chaos_maybe_fail_dispatch()
         return _device_basecall_packed(
             self.params,
             jnp.asarray(buf),
@@ -397,6 +465,7 @@ class Basecaller:
         )
 
     def dispatch_packed_chunk(self, buf):
+        _chaos_maybe_fail_dispatch()
         return _device_basecall_chunk_packed(
             self.params,
             jnp.asarray(buf),
@@ -461,10 +530,22 @@ class Basecaller:
                 qhi[j] = r.qhi
             return job_slice, self.call_chunk_batch_device(sig, lengths, qlo, qhi)
 
+        def _finish(i):
+            st = state[i]
+            if st["remaining"] > 0:
+                return
+            results[i] = None if st.get("failed") else self._assemble(
+                st["rt"], st["score"], st["path"], st["qchar"],
+                st["nb"], st["trace"], reverse,
+            )
+            state[i] = {"remaining": 0}  # free the buffers
+
         def _collect(job_slice, out):
             score, path, qchar, _, trace = self.unpack_chunk_outputs(out)
             for j, (i, r) in enumerate(job_slice):
                 st = state[i]
+                if st["remaining"] <= 0:
+                    continue
                 end = r.keep_hi + (1 if r.last else 0)  # fencepost entry
                 lo, g0 = r.keep_lo, r.g0
                 st["path"][lo:end] = path[j, lo - g0 : end - g0]
@@ -473,16 +554,30 @@ class Basecaller:
                     st["trace"][lo:end] = trace[j, lo - g0 : end - g0]
                 st["score"] += float(score[j])
                 st["remaining"] -= 1
-                if st["remaining"] == 0:
-                    results[i] = self._assemble(
-                        st["rt"], st["score"], st["path"], st["qchar"],
-                        st["nb"], st["trace"], reverse,
-                    )
-                    state[i] = {"remaining": 0}  # free the buffers
+                _finish(i)
 
-        pipe = _Pipeline(_collect)
+        def _on_error(job_slice, exc):
+            # a failed chunk batch fails only the reads it carries
+            import sys
+
+            fails = sorted({i for i, _ in job_slice})
+            print(f"chunk batch failed ({exc}); dropping read(s) "
+                  f"{fails}", file=sys.stderr)
+            for i, _r in job_slice:
+                st = state[i]
+                if st["remaining"] <= 0:
+                    continue
+                st["failed"] = True
+                st["remaining"] -= 1
+                _finish(i)
+
+        pipe = _Pipeline(_collect, on_error=_on_error)
         for ofs in range(0, len(jobs), CB):
-            pipe.push(*_dispatch(jobs[ofs : ofs + CB]))
+            part = jobs[ofs : ofs + CB]
+            try:
+                pipe.push(*_dispatch(part))
+            except Exception as exc:  # noqa: BLE001 - batch isolation
+                _on_error(part, exc)
         pipe.drain()
 
     # -- chunked long-read path --------------------------------------------
@@ -550,7 +645,14 @@ class Basecaller:
             reverse,
         )
 
-    def _assemble(self, rt, score, path, qpath, nblock, trace, reverse) -> BasecallResult:
+    def _assemble(self, rt, score, path, qpath, nblock, trace, reverse) -> Optional[BasecallResult]:
+        # Per-read validity net: a poisoned read inside a batch (NaN
+        # signal, zero-length row) surfaces as a non-finite score or an
+        # empty block range; degrade to None ("No basecall returned")
+        # without touching its batchmates.
+        score = float(score)
+        if not np.isfinite(score) or nblock < 1:
+            return None
         basecall, quality = path_to_basecall(path, qpath, nblock, self.cfg.nbase)
         if reverse:
             basecall = basecall[::-1]
