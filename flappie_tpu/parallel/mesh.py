@@ -55,6 +55,30 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optax state on the mesh with param-shaped leaves (adam
+    mu/nu mirror the param tree) sharded exactly like the params, and
+    scalar bookkeeping (step counts) replicated.  Without this the
+    optimizer memory would not scale with the model axis — 2x the
+    param memory stays unsharded and OOMs first at scale.
+    """
+    n_model = mesh.shape["model"]
+
+    def place(path, x):
+        # param leaves sit under .../mu['layer']['part']: the trailing
+        # two DictKeys name the param; anything else is bookkeeping
+        from jax.tree_util import DictKey
+
+        if len(path) >= 2 and all(isinstance(p, DictKey) for p in path[-2:]):
+            key = f"{path[-2].key}/{path[-1].key}"
+            spec = param_pspec(key, np.shape(x), n_model)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
