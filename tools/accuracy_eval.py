@@ -103,83 +103,110 @@ def teacher_cases(results: dict, student_npz: str | None, train_demo: bool) -> N
     from flappie_tpu.train.data import path_to_bases
     from tests.ref_harness.parity_models import _shrink
 
-    cfg = _shrink("r941_native", 64)
-    teacher = init_synthetic(cfg, seed=1234)
-    rng = np.random.default_rng(7)
-    n_reads, read_len = 8, 6000
-    signals = rng.normal(size=(n_reads, read_len)).astype(np.float32)
-    pp_opts = dict(trim_start=0, trim_end=0, varseg_chunk=read_len,
-                   varseg_thresh=0.0)
-
-    # truth: the teacher's Viterbi path over the signals preprocessed
-    # EXACTLY as the Basecaller will preprocess them (same options)
-    def preprocess_all():
-        tables = [RawTable(f"r{i}", read_len, 0, read_len, signals[i].copy())
-                  for i in range(n_reads)]
-        return native.preprocess_batch(tables, delta=0.0, **pp_opts)
-
-    segs = [rt.active() for rt in preprocess_all()]
-    L = max(s.size for s in segs)
-    buf = np.zeros((n_reads, L), np.float32)
-    for i, s in enumerate(segs):
-        buf[i, : s.size] = s
-    lengths = jnp.asarray([s.size for s in segs], jnp.int32)
-    trans, nblocks = transitions(
-        jax.tree.map(jnp.asarray, teacher), cfg, jnp.asarray(buf), lengths,
-        rnn_impl="scan",
-    )
-    _, path, _ = crf_viterbi(trans, nblocks, cfg.nbase)
-    path, nblocks = np.asarray(path), np.asarray(nblocks)
-    truths = [bases_str(path_to_bases(path[i], int(nblocks[i]), cfg.nbase))
-              for i in range(n_reads)]
-
-    def eval_params(label, params, desc):
-        bc = Basecaller(cfg, params=params, chunk=0)
-        tables = [RawTable(f"r{i}", read_len, 0, read_len, signals[i].copy())
-                  for i in range(n_reads)]
-        calls = bc.basecall_raw_tables(tables, delta=0.0, **pp_opts)
+    def run_eval(prefix, cfg, signals, truths, label, params, desc,
+                 viterbi=True):
+        """Basecall ``signals`` with ``params`` and align vs ``truths``."""
+        bc = Basecaller(cfg, params=params, chunk=0, viterbi_only=viterbi)
+        tables = [RawTable(f"r{i}", s.size, 0, s.size, s.copy())
+                  for i, s in enumerate(signals)]
+        calls = bc.basecall_raw_tables(tables)
         tot = np.zeros(5, np.int64)  # match mism ins del cols
         for res, truth in zip(calls, truths):
             a = align_identity(res.basecall if res else "", truth)
             tot += (a.matches, a.mismatches, a.insertions, a.deletions, a.columns)
         ident = 100 * tot[0] / max(tot[4], 1)
-        results[f"teacher/{label}"] = {
+        results[f"{prefix}/{label}"] = {
             "identity_pct": float(ident),
             "matches": int(tot[0]), "mismatches": int(tot[1]),
             "insertions": int(tot[2]), "deletions": int(tot[3]),
             "columns": int(tot[4]), "truth": desc,
         }
-        print(f"teacher/{label}: identity {ident:.3f}% over {tot[4]} cols", flush=True)
+        print(f"{prefix}/{label}: identity {ident:.3f}% over {tot[4]} cols",
+              flush=True)
 
-    # ceiling: the teacher's own posterior-decode calls vs its Viterbi truth
-    eval_params("self", teacher, "teacher Viterbi path (self-consistency)")
+    def make_truths(cfg, teacher, signals):
+        """Teacher Viterbi truth over signals preprocessed exactly as
+        the Basecaller will preprocess them (default options)."""
+        tables = [RawTable(f"r{i}", s.size, 0, s.size, s.copy())
+                  for i, s in enumerate(signals)]
+        segs = [rt.active() for rt in native.preprocess_batch(tables)
+                if rt is not None]
+        L = max(s.size for s in segs)
+        buf = np.zeros((len(segs), L), np.float32)
+        for i, s in enumerate(segs):
+            buf[i, : s.size] = s
+        lengths = jnp.asarray([s.size for s in segs], jnp.int32)
+        trans, nblocks = transitions(
+            jax.tree.map(jnp.asarray, teacher), cfg, jnp.asarray(buf),
+            lengths, rnn_impl="scan",
+        )
+        _, path, _ = crf_viterbi(trans, nblocks, cfg.nbase)
+        path, nblocks = np.asarray(path), np.asarray(nblocks)
+        return [bases_str(path_to_bases(path[i], int(nblocks[i]), cfg.nbase))
+                for i in range(len(segs))]
+
+    cfg = _shrink("r941_native", 64)
+    teacher = init_synthetic(cfg, seed=1234)
+    rng = np.random.default_rng(7)
+    signals = rng.normal(size=(8, 6000)).astype(np.float32)
+    truths = make_truths(cfg, teacher, signals)
+
+    # ceiling: the teacher's own viterbi calls vs its viterbi truth
+    # (identical pipeline -> 100%; certifies the harness end to end)
+    run_eval("teacher", cfg, signals, truths, "self_viterbi", teacher,
+             "teacher Viterbi path (identical pipeline)")
+    # decode-sensitivity row: posterior decode of the SAME weights vs
+    # the viterbi truth (diffuse synthetic posteriors -> low agreement;
+    # trained models are peaked and agree far more closely)
+    run_eval("teacher", cfg, signals, truths, "self_fb", teacher,
+             "teacher Viterbi path (fb decode of same weights)",
+             viterbi=False)
 
     if student_npz:
-        eval_params("student", load_npz(student_npz), "teacher Viterbi path")
+        run_eval("teacher", cfg, signals, truths, "student",
+                 load_npz(student_npz), "teacher Viterbi path")
     if train_demo:
-        # CTC training demo: an untrained student scores near zero, a
-        # briefly-trained one visibly climbs (the metric moves)
+        # CTC training demo on the config test_train proves converges:
+        # the metric must move untrained -> trained
         import optax
+        from dataclasses import replace as _rep
 
+        from flappie_tpu.models.config import ConvSpec, ModelConfig, RnnSpec
         from flappie_tpu.train.ctc import make_ctc_train_step
         from flappie_tpu.train.data import batches, teacher_dataset
 
-        exs = teacher_dataset(cfg, jax.tree.map(jnp.asarray, teacher),
-                              n_reads=8, read_len=2048, chunk=512, seed=3)
-        student0 = init_synthetic(cfg, seed=99)
-        eval_params("student_untrained", student0, "teacher Viterbi path")
-        train_step, optimizer = make_ctc_train_step(cfg, optax.adam(3e-3))
+        tiny = ModelConfig(
+            name="tiny", description="accuracy demo",
+            convs=(ConvSpec(winlen=9, in_ch=1, out_ch=16, stride=2,
+                            activation="tanh"),),
+            rnns=(RnnSpec("lstm", 16, backward=True),
+                  RnnSpec("lstm", 16, backward=False)),
+            head="flipflop", nbase=4,
+        )
+        t_teacher = init_synthetic(tiny, seed=1)
+        d_signals = rng.normal(size=(6, 4000)).astype(np.float32)
+        d_truths = make_truths(tiny, t_teacher, d_signals)
+        exs = teacher_dataset(tiny, jax.tree.map(jnp.asarray, t_teacher),
+                              n_reads=8, read_len=1024, chunk=256, seed=3)
+        student0 = init_synthetic(tiny, seed=99)
+        run_eval("train_demo", tiny, d_signals, d_truths, "teacher_self",
+                 t_teacher, "tiny teacher Viterbi path")
+        run_eval("train_demo", tiny, d_signals, d_truths, "student_untrained",
+                 student0, "tiny teacher Viterbi path")
+        train_step, optimizer = make_ctc_train_step(tiny, optax.adam(3e-3))
         p, s = student0, optimizer.init(student0)
         nsteps = 0
         for sig, lens, states, tlen in batches(
-            exs, 512, batch=8, nbase=cfg.nbase, seed=0, epochs=100
+            exs, 256, batch=8, nbase=tiny.nbase, seed=0, epochs=200
         ):
             p, s, loss = train_step(p, s, jnp.asarray(sig), jnp.asarray(lens),
                                     jnp.asarray(states), jnp.asarray(tlen))
             nsteps += 1
-            if nsteps >= 120:
+            if nsteps >= 300:
                 break
-        eval_params(f"student_trained_{nsteps}steps", p, "teacher Viterbi path")
+        run_eval("train_demo", tiny, d_signals, d_truths,
+                 f"student_trained_{nsteps}steps", p,
+                 "tiny teacher Viterbi path")
 
 
 def main(argv=None) -> int:
