@@ -198,13 +198,38 @@ def _device_basecall_chunk(params, signal, lengths, qlo, qhi, cfg: ModelConfig, 
     """
     from .ops.crf import crf_decode_fused
 
-    trans, nblocks = transitions(params, cfg, signal, lengths, temperature, rnn_impl)
+    if viterbi_only:
+        # Exact cross-chunk score: the viterbi-only score sums raw path
+        # weights minus the read's logZ; per-chunk shifted qpath sums
+        # drift because each chunk subtracts its OWN logZ/nblk.  Undo
+        # the chunk shift over the owned range and subtract the owned
+        # partition increments instead (washout-local, so they stitch
+        # the full-read logZ); the alpha0 log(nstate) constant lands on
+        # the first chunk (qlo == 1).
+        trans, nblocks, shift, incs = transitions(
+            params, cfg, signal, lengths, temperature, rnn_impl,
+            return_norm=True,
+        )
+    else:
+        trans, nblocks = transitions(
+            params, cfg, signal, lengths, temperature, rnn_impl
+        )
     _, path, qpath, trace = crf_decode_fused(
         trans, nblocks, cfg.nbase, viterbi_only, compute_trace
     )
     t = jnp.arange(qpath.shape[1])[None, :]
     keep = (t >= qlo[:, None]) & (t < qhi[:, None])
     score_part = jnp.sum(jnp.where(keep, qpath, 0.0), axis=1)
+    if viterbi_only:
+        cnt = (qhi - qlo).astype(trans.dtype)
+        tr = jnp.arange(incs.shape[1])[None, :]
+        keep_inc = (tr >= qlo[:, None] - 1) & (tr < qhi[:, None] - 1)
+        owned_inc = jnp.sum(jnp.where(keep_inc, incs, 0.0), axis=1)
+        first = (qlo == 1).astype(trans.dtype)
+        score_part = (
+            score_part + shift * cnt - owned_inc
+            - first * jnp.log(jnp.float32(cfg.nstate))
+        )
     return score_part, path.astype(jnp.int8), phred_from_qpath(qpath), nblocks, trace
 
 

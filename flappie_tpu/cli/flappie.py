@@ -181,20 +181,6 @@ def main(argv=None) -> int:
     if args.limit > 0:
         files = files[: args.limit]
 
-    if args.viterbi and args.chunk != 0:
-        # Sequences stitch exactly, but the viterbi-only score sums
-        # unnormalised transition weights whose per-chunk global-norm
-        # shift (logZ/nblk) differs chunk to chunk: normalised_score
-        # carries up to ~5% relative drift vs an unchunked run
-        # (tests/test_chunked.py).  The fb path (default) is unaffected.
-        print(
-            "warning: --viterbi with chunked decoding (reads longer than "
-            f"{'the stride-aware default chunk' if args.chunk is None else args.chunk}"
-            " samples): normalised_score may differ a few percent from an "
-            "unchunked run; pass --chunk 0 for exact scores",
-            file=sys.stderr,
-        )
-
     caller_kw = dict(
         model=args.model,
         checkpoint=args.checkpoint,

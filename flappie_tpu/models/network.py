@@ -41,20 +41,19 @@ def ceil_div(a, b):
 
 def _conv_impl() -> str:
     """FLAPPIE_TPU_CONV_IMPL: ``xla`` (lax.conv NWC — the parity
-    reference), ``fast`` (channels-major shifted-sum + im2col, see
-    ops/conv.conv1d_same_ct: the early layers' 1–16 channels pad to the
-    128-lane width in NWC, wasting up to 128x of every vector op),
+    reference), ``fast`` (channels-major shifted-sum + im2col), or
     ``pallas`` (``fast`` with the two leading stride-1 swish convs as
-    one fused kernel, ops/conv_pallas.py), or ``auto`` (fast on TPU,
-    xla elsewhere)."""
+    one fused kernel, ops/conv_pallas.py).
+
+    ``auto`` resolves to ``xla`` everywhere as of round 3: on the
+    current runtime lax.conv runs the whole stack in ~3.4 ms at
+    [128, 12800] while the round-2 channels-major path's im2col conv3
+    einsum costs 16-17 ms (docs/PROFILE_conv_r3.json; the round-2
+    measurement that motivated ``fast`` no longer reproduces).  The
+    alternatives stay as measured opt-ins."""
     import os
 
-    v = os.environ.get("FLAPPIE_TPU_CONV_IMPL", "auto")
-    if v == "auto":
-        import jax
-
-        return "fast" if jax.default_backend() == "tpu" else "xla"
-    return v
+    return os.environ.get("FLAPPIE_TPU_CONV_IMPL", "auto").replace("auto", "xla")
 
 
 def _conv_stack_fast(params, cfg: ModelConfig, x, lengths, fuse12: bool = False):
@@ -144,22 +143,21 @@ def _rnn_stack_fused_tm(params, cfg: ModelConfig, x, lengths):
     Each layer is a single Pallas kernel (input affine fused with the
     recurrence, rnn_pallas.lstm_layer_tm) so the [B, T, G*H] affine
     intermediate never exists in HBM and inter-layer data stays
-    time-major [T, B, H] (the kernels' native layout).
+    time-major [T, B, H] (the kernels' native layout).  Direction and
+    per-read tail masking live INSIDE the kernel (reversed grid walk +
+    validity-gated state updates), eliminating the two reversal
+    gathers and the mask pass per backward layer that cost ~30 ms per
+    [128, 12800] chunk batch in round 2.
     """
-    from ..ops.masking import mask_tail_tm, reverse_sequence_tm
-
     x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, C]
     for i, r in enumerate(cfg.rnns):
         p = params[f"rnn{i}"]
-        xi = reverse_sequence_tm(x_tm, lengths) if r.backward else x_tm
         fn = {
             "lstm": rnn_pallas.lstm_layer_tm,
             "grumod": rnn_pallas.grumod_layer_tm,
         }[r.kind]
-        y = fn(xi, p["iW"], p["b"], p["sW"])
-        if r.backward:
-            y = reverse_sequence_tm(y, lengths)
-        x_tm = mask_tail_tm(y, lengths)
+        x_tm = fn(x_tm, p["iW"], p["b"], p["sW"],
+                  backward=r.backward, lengths=lengths)
     # bf16 stream mode keeps inter-layer arrays bf16; the head runs f32
     return jnp.swapaxes(x_tm, 0, 1).astype(jnp.float32)
 
@@ -189,11 +187,15 @@ def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):
     return x
 
 
-def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_impl: str = "auto"):
+def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_impl: str = "auto", return_norm: bool = False):
     """signal: [B, T] or [B, T, 1] normalised signal (zero-padded),
     lengths: [B] int32 valid sample counts.
 
-    Returns (trans [B, T//stride, out_dim], nblocks [B]).
+    Returns (trans [B, T//stride, out_dim], nblocks [B]); with
+    ``return_norm`` (flipflop head only) additionally the per-read
+    global-norm shift [B] and per-block partition increments [B, T']
+    (see heads.globalnorm_flipflop) used to stitch exact viterbi
+    scores across chunks.
     """
     if signal.ndim == 2:
         signal = signal[..., None]
@@ -206,7 +208,14 @@ def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_
     x = rnn_stack(params, cfg, x, nblocks, rnn_impl)
     W, b = params["ff"]["W"], params["ff"]["b"]
     if cfg.head == "flipflop":
+        if return_norm:
+            out, shift, incs = globalnorm_flipflop(
+                x, W, b, temperature, nblocks, cfg.nbase, return_norm=True
+            )
+            return out, nblocks, shift, incs
         out = globalnorm_flipflop(x, W, b, temperature, nblocks, cfg.nbase)
+    elif return_norm:
+        raise ValueError(f"return_norm unsupported for head {cfg.head!r}")
     elif cfg.head == "runlengthV2":
         out = globalnorm_runlengthV2(x, W, b, temperature, nblocks, cfg.nbase)
     elif cfg.head == "runlength":

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .crf import TransIndex, crf_partition, flipflop_index, rle_index
+from .crf import TransIndex, crf_forward, crf_partition, flipflop_index, rle_index
 from .masking import mask_tail
 from .rnn import affine
 
@@ -31,12 +31,31 @@ def _safe_n(nblocks, dtype):
     return jnp.maximum(nblocks, 1).astype(dtype)
 
 
-def globalnorm_flipflop(x, W, b, temperature, nblocks, nbase: int):
+def globalnorm_flipflop(x, W, b, temperature, nblocks, nbase: int,
+                        return_norm: bool = False):
     """x: [B, T, H] -> trans [B, T, nparam], logZ-normalised per read.
 
     Padded blocks are zeroed on output.
+
+    With ``return_norm`` also returns the per-read shift (logZ/nblocks)
+    and the per-block partition increments inc[t] =
+    lse(alpha[t+1]) - lse(alpha[t]) (zero on padded blocks, since the
+    scan leaves alpha unchanged there).  The increments are
+    washout-local: summed over a chunk's owned block range they stitch
+    the FULL-read logZ across chunks (logZ = sum(inc) + log(nstate),
+    the log(nstate) being the uniform-zeros alpha0), which makes the
+    chunked viterbi-only score match the unchunked score instead of
+    drifting with each chunk's own shift.
     """
     C = jnp.tanh(affine(x, W, b)) * (5.0 / temperature)
+    if return_norm:
+        import jax.scipy.special as jss
+
+        alphas, logZ = crf_forward(C, nblocks, nbase)
+        l = jss.logsumexp(alphas, axis=-1)  # [B, T+1]
+        incs = l[:, 1:] - l[:, :-1]  # [B, T]
+        shift = logZ / _safe_n(nblocks, C.dtype)
+        return mask_tail(C - shift[:, None, None], nblocks), shift, incs
     logZ = crf_partition(C, nblocks, nbase) / _safe_n(nblocks, C.dtype)
     C = C - logZ[:, None, None]
     return mask_tail(C, nblocks)

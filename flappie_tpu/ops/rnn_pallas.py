@@ -194,7 +194,7 @@ def _make_rdot(rnnprec, sw):
 # HIGHEST (see ops.precision).
 
 
-def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, c_ref, xa_ref):
+def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -204,6 +204,11 @@ def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h
 
     H = h_ref.shape[-1]
     K, B, IN = x_ref.shape
+    # global block index: backward layers walk the grid (and the steps
+    # inside each block) in reverse, carrying state from the sequence
+    # end -- the directional recurrence without any reversal gathers
+    g = (pl.num_programs(0) - 1 - t) if backward else t
+    lens = len_ref[:]  # [B, 1] int32 valid steps per read
     sw = sw_ref[:]
     rdot = _make_rdot(rnnprec, sw)
     # block input affine into VMEM scratch (refs support dynamic step
@@ -221,22 +226,29 @@ def _lstm_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h
 
     def step(k, carry):
         h, c = carry
-        xF = xa_ref[k].astype(jnp.float32) + rdot(h)
+        kk = (K - 1 - k) if backward else k
+        # valid = this step is inside the read.  Invalid steps freeze
+        # the carry: a backward layer therefore still has the zero
+        # initial state when it reaches each read's own last block, and
+        # a forward layer stops at the read end -- identical math to
+        # scanning only the valid region (reference layers.c:877-976).
+        valid = (g * K + kk) < lens
+        xF = xa_ref[kk].astype(jnp.float32) + rdot(h)
         u = jax.nn.sigmoid(xF[:, :H])
         f = jax.nn.sigmoid(xF[:, H : 2 * H])
-        g = jnp.tanh(xF[:, 2 * H : 3 * H])
+        gg = jnp.tanh(xF[:, 2 * H : 3 * H])
         o = jax.nn.sigmoid(xF[:, 3 * H :])
-        c = f * c + u * g
-        h = o * jnp.tanh(c)
-        out_ref[k] = h.astype(out_ref.dtype)
-        return h, c
+        c2 = f * c + u * gg
+        h2 = o * jnp.tanh(c2)
+        out_ref[kk] = jnp.where(valid, h2, 0.0).astype(out_ref.dtype)
+        return jnp.where(valid, h2, h), jnp.where(valid, c2, c)
 
     h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
     h_ref[:] = h
     c_ref[:] = c
 
 
-def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref, h_ref, xa_ref):
+def _grumod_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, xa_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -245,6 +257,8 @@ def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
 
     H = h_ref.shape[-1]
     K, B, IN = x_ref.shape
+    g = (pl.num_programs(0) - 1 - t) if backward else t
+    lens = len_ref[:]
     sw = sw_ref[:]
     rdot = _make_rdot(rnnprec, sw)
     xa_ref[:] = (
@@ -258,14 +272,16 @@ def _grumod_fused_kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
     ).reshape(K, B, 3 * H).astype(xa_ref.dtype)
 
     def step(k, h):
-        x = xa_ref[k].astype(jnp.float32)
+        kk = (K - 1 - k) if backward else k
+        valid = (g * K + kk) < lens
+        x = xa_ref[kk].astype(jnp.float32)
         v = rdot(h)
         z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
         r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
         hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
-        h = z * h + (1 - z) * hbar
-        out_ref[k] = h.astype(out_ref.dtype)
-        return h
+        h2 = z * h + (1 - z) * hbar
+        out_ref[kk] = jnp.where(valid, h2, 0.0).astype(out_ref.dtype)
+        return jnp.where(valid, h2, h)
 
     h_ref[:] = lax.fori_loop(0, K, step, h_ref[:], unroll=True)
 
@@ -302,8 +318,16 @@ def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int) -> int:
     return K
 
 
-def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
-    """x_tm: [T, B, IN] (time-major) -> [T, B, H]."""
+def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
+               backward: bool = False, lengths=None):
+    """x_tm: [T, B, IN] (time-major) -> [T, B, H].
+
+    ``backward`` runs the recurrence from each read's end (grid and
+    in-block step order reversed; outputs stay in natural time order).
+    ``lengths`` ([B] int32, default all-T) gates state updates and
+    zeroes outputs at padded steps, so no host-side reversal gathers or
+    tail masking are needed around the kernel.
+    """
     from .precision import ff_precision
 
     # Mosaic rejects Precision.HIGH inside kernels; clamp to HIGHEST
@@ -337,37 +361,49 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret):
     Tpad = -(-T // K) * K
     if Tpad != T:
         x_tm = jnp.pad(x_tm, ((0, Tpad - T), (0, 0), (0, 0)))
+    if lengths is None:
+        lens = jnp.full((B, 1), T, jnp.int32)
+    else:
+        lens = lengths.astype(jnp.int32).reshape(B, 1)
 
+    N = Tpad // K
+    tmap = (lambda t: (N - 1 - t, 0, 0)) if backward else (lambda t: (t, 0, 0))
     scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
     scratch.append(pltpu.VMEM((K, B, GH), xa_dtype))  # block affine
     out = pl.pallas_call(
-        functools.partial(kernel, ffprec, rnnprec),
-        grid=(Tpad // K,),
+        functools.partial(kernel, ffprec, rnnprec, backward),
+        grid=(N,),
         in_specs=[
-            pl.BlockSpec((K, B, IN), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, IN), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((IN, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GH,), lambda t: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((K, B, H), tmap, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tpad, B, H), xa_dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x_tm, iW, b, sW)
+    )(x_tm, iW, b, sW, lens)
     return out[:T]
 
 
-def lstm_layer_tm(x_tm, iW, b, sW, interpret=None):
+def lstm_layer_tm(x_tm, iW, b, sW, interpret=None, backward=False, lengths=None):
     """Fused input-affine + LSTM recurrence, time-major in/out.
+
+    ``backward``/``lengths``: directional scan with per-read validity
+    handled in-kernel (no reversal gathers or tail-mask passes).
 
     In bf16 stream mode (see _stream_dtype) the output is bf16: the
     next layer consumes it directly, so inter-layer HBM traffic is
     halved end to end and no cast passes materialise.  Recurrent state
     and the step matmul accumulate in f32 regardless.
     """
-    return _run_fused(_lstm_fused_kernel, x_tm, iW, b, sW, 4, 2, interpret)
+    return _run_fused(_lstm_fused_kernel, x_tm, iW, b, sW, 4, 2, interpret,
+                      backward, lengths)
 
 
-def grumod_layer_tm(x_tm, iW, b, sW, interpret=None):
+def grumod_layer_tm(x_tm, iW, b, sW, interpret=None, backward=False, lengths=None):
     """Fused input-affine + GRU-mod recurrence, time-major in/out."""
-    return _run_fused(_grumod_fused_kernel, x_tm, iW, b, sW, 3, 1, interpret)
+    return _run_fused(_grumod_fused_kernel, x_tm, iW, b, sW, 3, 1, interpret,
+                      backward, lengths)

@@ -192,27 +192,6 @@ def test_cli_smoke(tmp_path, norm_signal):
         assert f["read-a/signal"].dtype == np.float32
 
 
-def test_cli_viterbi_chunk_score_warning(tmp_path, capsys):
-    """--viterbi with chunking active warns about the score band
-    (tests/test_chunked.py: per-chunk logZ shifts drift the
-    viterbi-only normalised_score up to ~5%); --chunk 0 stays silent."""
-    from flappie_tpu.cli.flappie import main
-    from flappie_tpu.signal.fast5 import write_single_read_fast5
-
-    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
-    f5 = tmp_path / "a.fast5"
-    write_single_read_fast5(str(f5), raw[:12000], "read-a")
-    out = tmp_path / "out.fastq"
-
-    rc = main([str(f5), "-o", str(out), "--viterbi"])
-    assert rc == 0
-    assert "normalised_score" in capsys.readouterr().err
-
-    rc = main([str(f5), "-o", str(out), "--viterbi", "--chunk", "0"])
-    assert rc == 0
-    assert "normalised_score" not in capsys.readouterr().err
-
-
 def test_cli_model_help(capsys):
     from flappie_tpu.cli.flappie import main
 

@@ -327,6 +327,46 @@ def test_pallas_fused_layer_matches_affine_plus_scan(kind, T):
 
 
 @pytest.mark.parametrize("kind", ["lstm", "grumod"])
+@pytest.mark.parametrize("backward", [False, True])
+def test_pallas_fused_layer_directional_lengths(kind, backward):
+    """In-kernel direction + per-read validity == host-side
+    reverse_sequence + scan + mask_tail on variable-length reads."""
+    from flappie_tpu.ops import rnn_pallas
+    from flappie_tpu.ops.masking import mask_tail, reverse_sequence
+
+    B, T, IN, H = 3, 37, 8, 16
+    gates = 4 if kind == "lstm" else 3
+    lengths = jnp.asarray(np.array([37, 29, 5], np.int32))
+    x = rnd(B, T, IN)
+    # zero the padded tails like the conv stack does
+    x = np.where(np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None], x, 0.0)
+    iW = rnd(IN, gates * H, scale=0.3)
+    bias = rnd(gates * H, scale=0.2)
+    sW = rnd(H, gates * H, scale=0.3)
+
+    xa = rnn_ops.affine(jnp.asarray(x), jnp.asarray(iW), jnp.asarray(bias))
+    if backward:
+        xa = reverse_sequence(xa, lengths)
+    base = {"lstm": rnn_ops.lstm_seq, "grumod": rnn_ops.grumod_seq}[kind]
+    want = base(xa, jnp.asarray(sW))
+    if backward:
+        want = reverse_sequence(want, lengths)
+    want = np.asarray(mask_tail(want, lengths))
+
+    fused = {
+        "lstm": rnn_pallas.lstm_layer_tm,
+        "grumod": rnn_pallas.grumod_layer_tm,
+    }[kind]
+    got = fused(
+        jnp.swapaxes(jnp.asarray(x), 0, 1), jnp.asarray(iW),
+        jnp.asarray(bias), jnp.asarray(sW), interpret=True,
+        backward=backward, lengths=lengths,
+    )
+    got = np.swapaxes(np.asarray(got), 0, 1)
+    np.testing.assert_allclose(want, got, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["lstm", "grumod"])
 def test_pallas_fused_layer_bf16_stream(kind, monkeypatch):
     """FLAPPIE_TPU_RNN_STREAM=bf16 (the TPU speed mode): output is bf16
     and tracks the f32 reference within the bf16 rounding envelope.
