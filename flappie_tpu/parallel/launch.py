@@ -152,7 +152,10 @@ def worker(rank: int, nproc: int, flappie_argv: List[str], partdir: str) -> int:
 
 
 def merge(nproc: int, flappie_argv: List[str], partdir: str) -> int:
-    """Concatenate part files in global (file, read) input order."""
+    """Concatenate part files in global (file, read) input order; merge
+    per-worker trace HDF5 shards into the single requested file (an
+    improvement over the reference, which leaves traces sharded one
+    file per process, RUNNIE.md:47-49)."""
     from ..cli import flappie as cli
 
     args = cli.build_parser().parse_args(flappie_argv)
@@ -174,6 +177,19 @@ def merge(nproc: int, flappie_argv: List[str], partdir: str) -> int:
         out.close()
     for r in range(nproc):
         os.remove(_part_path(partdir, r))
+
+    if args.trace:
+        import h5py
+
+        with h5py.File(args.trace, "w") as dst:
+            for r in range(nproc):
+                shard = f"{args.trace}.part{r}"
+                if not os.path.exists(shard):
+                    continue
+                with h5py.File(shard, "r") as src:
+                    for name in src:
+                        src.copy(src[name], dst, name)
+                os.remove(shard)
     return 0
 
 

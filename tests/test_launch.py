@@ -96,3 +96,31 @@ def test_launcher_spawn_merges_in_input_order(fast5_dir, tmp_path):
     assert merged == single
     # part files are cleaned up after the merge
     assert not list(tmp_path.glob("flappie_part*.jsonl"))
+
+
+def test_launcher_merges_trace_shards(fast5_dir, tmp_path):
+    """--trace through the launcher yields ONE merged HDF5 with every
+    read's group (the reference leaves per-process shards)."""
+    import h5py
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    out = tmp_path / "merged.fastq"
+    trace = tmp_path / "trace.h5"
+    cmd = [
+        sys.executable, "-m", "flappie_tpu.parallel.launch",
+        "--nproc", "2", "--partdir", str(tmp_path), "--",
+        str(fast5_dir), "--output", str(out), "--trace", str(trace),
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1800
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with h5py.File(trace, "r") as f:
+        groups = sorted(f)
+        assert len(groups) == 3
+        for g in groups:
+            assert f[g]["trace"].dtype == np.uint8
+            assert f[g]["signal"].dtype == np.float32
+    assert not list(tmp_path.glob("trace.h5.part*"))
