@@ -123,8 +123,22 @@ def _chaos_corrupt_reads(processed) -> None:
         _chaos_counter[0] += 1
         if _chaos_counter[0] % 2 == 1 and rt.end > rt.start:
             rt.raw[rt.start : rt.end] = np.nan
+            rt.adc = None  # corruption must reach the device either way
         else:
             rt.end = rt.start  # zero-length active window
+
+
+def _upload_mode() -> str:
+    """FLAPPIE_TPU_UPLOAD: auto (int16 ADC when the reads carry it),
+    f32 (always upload the host-normalised signal), i16 (require the
+    halved-bytes path; batches without ADC still fall back)."""
+    import os
+
+    return os.environ.get("FLAPPIE_TPU_UPLOAD", "auto")
+
+
+def _i16_capable(rt) -> bool:
+    return rt.adc is not None and rt.cal is not None and rt.norm is not None
 
 
 def _chaos_maybe_fail_dispatch() -> None:
@@ -252,6 +266,81 @@ def _device_basecall_chunk_packed(params, buf, cfg: ModelConfig, temperature: fl
     meta = buf[:, -4:].astype(jnp.int32)
     score, path, qchar, nblocks, trace = _device_basecall_chunk(
         params, sig, meta[:, 0], meta[:, 1], meta[:, 2],
+        cfg, temperature, viterbi_only, compute_trace, rnn_impl,
+    )
+    B = path.shape[0]
+    parts = [path.astype(jnp.uint8), qchar]
+    if compute_trace:
+        parts.append(trace.reshape(B, -1))
+    parts.append(jax.lax.bitcast_convert_type(score, jnp.uint8).reshape(B, 4))
+    parts.append(jax.lax.bitcast_convert_type(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_i16(buf):
+    """Device prologue of the halved-bytes upload: one [B, T+16] int16
+    array -> (normalised f32 signal [B, T], lengths, qlo, qhi).
+
+    The 16 tail int16 are 8 bitcast f32: (length, qlo, qhi, offset,
+    raw_unit, med, mad, unused).  The device replays the exact host
+    pipeline -- pA = (adc + offset) * raw_unit (src/fast5_interface.c:
+    297-303), then (pA - med) / mad (src/util.c:198-213) -- from the
+    original int16 ADC counts, halving host->device bytes.  On XLA:CPU
+    every op is IEEE f32, so this is bit-identical to the host
+    normalisation; on TPU f32 division is 1-ulp-inexact on ~35% of
+    fixture samples, which leaves sequence and quality bytes unchanged
+    and trace bytes within the existing +-1 band (measured:
+    tools/devnorm_parity_check.py, committed run in its docstring).
+    """
+    B = buf.shape[0]
+    tail = jax.lax.bitcast_convert_type(
+        buf[:, -16:].reshape(B, 8, 2), jnp.float32
+    )  # [B, 8]
+    lengths = tail[:, 0].astype(jnp.int32)
+    qlo = tail[:, 1].astype(jnp.int32)
+    qhi = tail[:, 2].astype(jnp.int32)
+    offset, raw_unit = tail[:, 3:4], tail[:, 4:5]
+    med, mad = tail[:, 5:6], tail[:, 6:7]
+    x = buf[:, :-16].astype(jnp.float32)
+    T = x.shape[1]
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+    x = (x + offset) * raw_unit
+    # The mask sits BETWEEN the pA multiply and the med subtract on
+    # purpose: XLA:CPU's LLVM backend contracts multiply->subtract into
+    # an FMA inside one fusion (up to ~30 ulp at cancellation points,
+    # and optimization_barrier / bitcast sandwiches get simplified
+    # away), while a select between them breaks the contraction pattern
+    # and is needed for the zero padding anyway.  With it, this whole
+    # prologue is bit-identical to the host pipeline on XLA:CPU.
+    x = jnp.where(mask, x, 0.0)
+    x = (x - med) / mad
+    sig = jnp.where(mask, x, 0.0)
+    return sig, lengths, qlo, qhi
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_packed_i16(params, buf, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str = "auto"):
+    """int16-upload variant of _device_basecall_packed (bucket path)."""
+    sig, lengths, _qlo, _qhi = _unpack_i16(buf)
+    score, path, qchar, nblocks, trace = _device_basecall(
+        params, sig, lengths, cfg, temperature, viterbi_only, compute_trace,
+        rnn_impl,
+    )
+    B = path.shape[0]
+    parts = [path.astype(jnp.uint8), qchar]
+    if compute_trace:
+        parts.append(trace.reshape(B, -1))
+    parts.append(jax.lax.bitcast_convert_type(score, jnp.uint8).reshape(B, 4))
+    parts.append(jax.lax.bitcast_convert_type(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4))
+    return jnp.concatenate(parts, axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_chunk_packed_i16(params, buf, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str):
+    """int16-upload variant of _device_basecall_chunk_packed."""
+    sig, lengths, qlo, qhi = _unpack_i16(buf)
+    score, path, qchar, nblocks, trace = _device_basecall_chunk(
+        params, sig, lengths, qlo, qhi,
         cfg, temperature, viterbi_only, compute_trace, rnn_impl,
     )
     B = path.shape[0]
@@ -406,15 +495,27 @@ class Basecaller:
         # one packed array each way per batch.
         def _dispatch(chunk, bucket):
             B = len(chunk)
-            sig = np.zeros((B, bucket), F32)
             lengths = np.zeros(B, np.int32)
+            zeros = np.zeros(B, np.int32)
+            if _upload_mode() != "f32" and all(_i16_capable(rt) for _, rt in chunk):
+                adc = np.zeros((B, bucket), np.int16)
+                scal = np.zeros((B, 4), F32)
+                scal[:, 3] = 1.0  # pad rows: mad=1 -> exact zero signal
+                for j, (_, rt) in enumerate(chunk):
+                    L = rt.end - rt.start
+                    adc[j, :L] = rt.adc[rt.start : rt.end]
+                    lengths[j] = L
+                    scal[j] = (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
+                return (chunk, bucket), self.dispatch_packed_batch_i16(
+                    self.pack_chunk_inputs_i16(adc, lengths, zeros, zeros, scal)
+                )
+            sig = np.zeros((B, bucket), F32)
             for j, (_, rt) in enumerate(chunk):
                 seg = rt.active()
                 sig[j, : seg.size] = seg
                 lengths[j] = seg.size
             return (chunk, bucket), self.dispatch_packed_batch(
-                self.pack_chunk_inputs(sig, lengths, np.zeros(B, np.int32),
-                                       np.zeros(B, np.int32))
+                self.pack_chunk_inputs(sig, lengths, zeros, zeros)
             )
 
         def _collect(tag, out):
@@ -467,6 +568,25 @@ class Basecaller:
         ).astype(np.float32)
         return np.concatenate([np.asarray(signals, np.float32), meta], axis=1)
 
+    @staticmethod
+    def pack_chunk_inputs_i16(adc, lengths, qlo, qhi, scal) -> np.ndarray:
+        """Halved-bytes upload: one [CB, chunk+16] int16 array per batch.
+
+        ``adc``: [CB, chunk] int16 ADC counts; ``scal``: [CB, 4] f32
+        (offset, raw_unit, med, mad) per row.  The 16 tail int16 are 8
+        f32 (length, qlo, qhi, offset, raw_unit, med, mad, 0) bit-cast
+        to int16 pairs (little-endian both sides); the device inverse is
+        _unpack_i16."""
+        B = np.shape(adc)[0]
+        tail = np.zeros((B, 8), np.float32)
+        tail[:, 0] = lengths
+        tail[:, 1] = qlo
+        tail[:, 2] = qhi
+        tail[:, 3:7] = scal
+        return np.concatenate(
+            [np.asarray(adc, np.int16), tail.view(np.int16)], axis=1
+        )
+
     def call_chunk_batch_device(self, signals, lengths, qlo, qhi):
         """Dispatch one [CB, chunk] chunk batch (fused forward+decode
         with per-chunk owned-range score sums); non-blocking.  Returns
@@ -489,9 +609,35 @@ class Basecaller:
             self.rnn_impl,
         )
 
+    def dispatch_packed_batch_i16(self, buf):
+        """int16-ADC upload variant of dispatch_packed_batch."""
+        _chaos_maybe_fail_dispatch()
+        return _device_basecall_packed_i16(
+            self.params,
+            jnp.asarray(buf),
+            self.cfg,
+            self.temperature,
+            self.viterbi_only,
+            self.compute_trace,
+            self.rnn_impl,
+        )
+
     def dispatch_packed_chunk(self, buf):
         _chaos_maybe_fail_dispatch()
         return _device_basecall_chunk_packed(
+            self.params,
+            jnp.asarray(buf),
+            self.cfg,
+            self.temperature,
+            self.viterbi_only,
+            self.compute_trace,
+            self.rnn_impl,
+        )
+
+    def dispatch_packed_chunk_i16(self, buf):
+        """int16-ADC upload variant of dispatch_packed_chunk."""
+        _chaos_maybe_fail_dispatch()
+        return _device_basecall_chunk_packed_i16(
             self.params,
             jnp.asarray(buf),
             self.cfg,
@@ -517,6 +663,7 @@ class Basecaller:
 
         jobs = []  # (read index, ChunkRecord)
         state: dict = {}
+        i16_ok = _upload_mode() != "f32"
         for i, rt in items:
             seg = rt.active()
             plan = plan_chunks(seg.size, stride, chunk_T, self.overlap)
@@ -525,6 +672,10 @@ class Basecaller:
             state[i] = {
                 "rt": rt,
                 "seg": seg,
+                "adc_seg": rt.adc[rt.start : rt.end]
+                if i16_ok and _i16_capable(rt) else None,
+                "scal": (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
+                if i16_ok and _i16_capable(rt) else None,
                 "nb": nb,
                 "remaining": len(recs),
                 "score": 0.0,
@@ -543,11 +694,24 @@ class Basecaller:
         CB = min(self.chunk_batch, bucket_length(len(jobs), 8))
 
         def _dispatch(job_slice):
-            sig = np.zeros((CB, chunk_T), F32)
             # dummy rows: a few valid samples, empty score range
             lengths = np.full(CB, stride, np.int32)
             qlo = np.zeros(CB, np.int32)
             qhi = np.zeros(CB, np.int32)
+            if all(state[i].get("adc_seg") is not None for i, _ in job_slice):
+                adc = np.zeros((CB, chunk_T), np.int16)
+                scal = np.zeros((CB, 4), F32)
+                scal[:, 3] = 1.0  # dummy rows: mad=1 -> exact zero signal
+                for j, (i, r) in enumerate(job_slice):
+                    adc[j, : r.length] = state[i]["adc_seg"][r.start : r.start + r.length]
+                    lengths[j] = r.length
+                    qlo[j] = r.qlo
+                    qhi[j] = r.qhi
+                    scal[j] = state[i]["scal"]
+                return job_slice, self.dispatch_packed_chunk_i16(
+                    self.pack_chunk_inputs_i16(adc, lengths, qlo, qhi, scal)
+                )
+            sig = np.zeros((CB, chunk_T), F32)
             for j, (i, r) in enumerate(job_slice):
                 sig[j, : r.length] = state[i]["seg"][r.start : r.start + r.length]
                 lengths[j] = r.length

@@ -52,6 +52,17 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "ft_preprocess_batch2"):
+        # stale pre-v2 build on disk: rebuild and reload once
+        del lib
+        if not (_build() and os.path.exists(_LIB_PATH)):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "ft_preprocess_batch2"):
+            return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.ft_medmad_normalise.argtypes = [f32p, ctypes.c_int64]
@@ -64,6 +75,11 @@ def load() -> Optional[ctypes.CDLL]:
         f32p, i64p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.c_float, i64p, i64p, ctypes.c_int32,
+    ]
+    lib.ft_preprocess_batch2.argtypes = [
+        f32p, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_float, i64p, i64p, f32p, f32p, ctypes.c_int32,
     ]
     lib.ft_scale_to_pA.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float]
     lib.ft_version.restype = ctypes.c_int32
@@ -129,11 +145,14 @@ def preprocess_batch(
     signals = np.concatenate(bufs) if bufs else np.zeros(0, np.float32)
     starts = np.zeros(len(valid_idx), dtype=np.int64)
     ends = np.zeros(len(valid_idx), dtype=np.int64)
+    meds = np.zeros(len(valid_idx), dtype=np.float32)
+    mads = np.zeros(len(valid_idx), dtype=np.float32)
 
-    lib.ft_preprocess_batch(
+    lib.ft_preprocess_batch2(
         _f32p(signals), _i64p(offsets), len(valid_idx),
         trim_start, trim_end, varseg_chunk, ctypes.c_float(varseg_thresh),
-        ctypes.c_float(delta), _i64p(starts), _i64p(ends), nthreads,
+        ctypes.c_float(delta), _i64p(starts), _i64p(ends),
+        _f32p(meds), _f32p(mads), nthreads,
     )
 
     out: List[Optional[RawTable]] = [None] * len(reads)
@@ -151,5 +170,8 @@ def preprocess_batch(
             start=rt.start + int(starts[j]),
             end=rt.start + int(ends[j]),
             raw=full,
+            adc=rt.adc,
+            cal=rt.cal,
+            norm=(meds[j], mads[j]) if delta == 0.0 and mads[j] != 0.0 else None,
         )
     return out

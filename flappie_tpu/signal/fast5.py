@@ -31,15 +31,26 @@ def _decode_attr(val) -> str:
     return str(val)
 
 
-def _scale_signal(sig: np.ndarray, channel_attrs, scale_to_pA: bool) -> np.ndarray:
+def _scale_signal(sig: np.ndarray, channel_attrs, scale_to_pA: bool):
+    """Returns (pA float32 signal, int16 ADC or None, (offset, raw_unit)).
+
+    The ADC counts + calibration ride along on the RawTable so the
+    device can rebuild the normalised signal from half the upload bytes
+    (basecall._unpack_i16); kept only when the source samples are
+    integral int16, as real fast5 Signal datasets are."""
     raw = sig.astype(F32)
+    adc = None
+    cal = None
     if scale_to_pA:
         digitisation = F32(channel_attrs["digitisation"])
         offset = F32(channel_attrs["offset"])
         rng = F32(channel_attrs["range"])
         raw_unit = rng / digitisation  # float32 divide, as reference
         raw = (raw + offset) * raw_unit
-    return raw
+        if np.issubdtype(sig.dtype, np.integer) and sig.dtype.itemsize <= 2:
+            adc = np.ascontiguousarray(sig, dtype=np.int16)
+            cal = (offset, raw_unit)
+    return raw, adc, cal
 
 
 def _chaos() -> bool:
@@ -70,8 +81,10 @@ def read_raw(filename: str, scale_to_pA: bool = True) -> RawTable:
             grp = reads[name]
             uuid = _decode_attr(grp.attrs["read_id"])
             sig = grp["Signal"][()]
-            raw = _scale_signal(sig, f["/UniqueGlobalKey/channel_id"].attrs, scale_to_pA)
-            return RawTable(uuid, raw.size, 0, raw.size, raw)
+            raw, adc, cal = _scale_signal(
+                sig, f["/UniqueGlobalKey/channel_id"].attrs, scale_to_pA
+            )
+            return RawTable(uuid, raw.size, 0, raw.size, raw, adc=adc, cal=cal)
     except Exception:
         return RawTable(None, 0, 0, 0, None)
 
@@ -92,10 +105,10 @@ def iter_reads(filename: str, scale_to_pA: bool = True) -> Iterator[RawTable]:
                 raw_grp = grp["Raw"]
                 uuid = _decode_attr(raw_grp.attrs.get("read_id", name[len("read_") :]))
                 sig = raw_grp["Signal"][()]
-                raw = _scale_signal(sig, grp["channel_id"].attrs, scale_to_pA)
+                raw, adc, cal = _scale_signal(sig, grp["channel_id"].attrs, scale_to_pA)
             except Exception:
                 continue
-            yield RawTable(uuid, raw.size, 0, raw.size, raw)
+            yield RawTable(uuid, raw.size, 0, raw.size, raw, adc=adc, cal=cal)
 
 
 def list_read_ids(filename: str) -> List[str]:

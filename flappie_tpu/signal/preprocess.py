@@ -28,6 +28,12 @@ class RawTable:
 
     Mirrors the reference ``raw_table`` (src/flappie_structures.h:16-22)
     but owns a numpy array.
+
+    ``adc``/``cal``/``norm`` support the halved-bytes device upload: when
+    the read came from integral ADC counts (fast5), the original int16
+    samples plus the (offset, raw_unit) calibration and the (med, mad)
+    normalisation scalars let the TPU reconstruct the normalised f32
+    signal on device from half the bytes (see basecall._unpack_i16).
     """
 
     uuid: Optional[str]
@@ -35,6 +41,9 @@ class RawTable:
     start: int
     end: int
     raw: Optional[np.ndarray]  # float32 [n]
+    adc: Optional[np.ndarray] = None  # int16 [n] original ADC counts
+    cal: Optional[tuple] = None  # (offset, raw_unit) float32
+    norm: Optional[tuple] = None  # (med, mad) float32, set by normalise
 
     @property
     def valid(self) -> bool:
@@ -87,17 +96,20 @@ def mad_f32(x: np.ndarray, med: Optional[np.float32] = None) -> np.float32:
     return mad * MAD_SCALE  # float32 multiply, as in C
 
 
-def medmad_normalise(x: np.ndarray) -> np.ndarray:
-    """(x - median) / mad, in-place semantics (src/util.c:198-213)."""
+def medmad_normalise(x: np.ndarray):
+    """(x - median) / mad, in-place semantics (src/util.c:198-213).
+
+    Returns (x, med, mad); med/mad are None for the degenerate 1-sample
+    case."""
     x = np.asarray(x, dtype=F32)
     if x.size == 1:
         x[0] = 0.0
-        return x
+        return x, None, None
     med = median_f32(x)
     mad = mad_f32(x, med)
     x -= med
     x /= mad
-    return x
+    return x, med, mad
 
 
 def shift_scale(x: np.ndarray, shift: float, scale: float) -> np.ndarray:
@@ -195,8 +207,11 @@ def normalise_signal(rt: RawTable, delta: float = 0.0) -> RawTable:
     """
     seg = rt.raw[rt.start : rt.end]
     if delta == 0.0:
-        medmad_normalise(seg)
+        _, med, mad = medmad_normalise(seg)
+        # mad == 0 divides to inf/nan on host; keep the f32 upload there
+        rt.norm = (med, mad) if med is not None and mad != 0.0 else None
     else:
         difference(seg)
         shift_scale(seg, 0.0, delta)
+        rt.norm = None  # delta mode: device upload falls back to f32
     return rt

@@ -56,13 +56,23 @@ float madf(const float* x, size_t n, const float* med) {
 
 extern "C" {
 
-// med-MAD normalise in place (src/util.c:198-213)
-void ft_medmad_normalise(float* x, int64_t n) {
+// med-MAD normalise in place (src/util.c:198-213); optionally reports
+// the (med, mad) scalars so callers can replay the normalisation on
+// device from raw ADC counts (half the upload bytes).
+void ft_medmad_normalise2(float* x, int64_t n, float* med_out, float* mad_out) {
+    if (med_out) *med_out = 0.0f;
+    if (mad_out) *mad_out = 0.0f;
     if (!x) return;
     if (n == 1) { x[0] = 0.0f; return; }
     const float med = medianf(x, (size_t)n);
     const float mad = madf(x, (size_t)n, &med);
     for (int64_t i = 0; i < n; ++i) x[i] = (x[i] - med) / mad;
+    if (med_out) *med_out = med;
+    if (mad_out) *mad_out = mad;
+}
+
+void ft_medmad_normalise(float* x, int64_t n) {
+    ft_medmad_normalise2(x, n, nullptr, nullptr);
 }
 
 // delta mode: difference + scale (src/util.c:278-289, 215-224)
@@ -116,13 +126,16 @@ void ft_trim_and_segment(const float* raw, int64_t n,
 // read's trimmed window (relative to its own offset; start==end means
 // the read failed) and the signal within the window is normalised in
 // place (med-MAD, or delta mode when delta != 0).
-void ft_preprocess_batch(float* signals, const int64_t* offsets,
-                         int64_t nreads,
-                         int64_t trim_start, int64_t trim_end,
-                         int64_t varseg_chunk, float varseg_thresh,
-                         float delta,
-                         int64_t* starts, int64_t* ends,
-                         int32_t nthreads) {
+// v2 additionally reports each read's (med, mad) normalisation scalars
+// (0/0 in delta mode or for failed reads).
+void ft_preprocess_batch2(float* signals, const int64_t* offsets,
+                          int64_t nreads,
+                          int64_t trim_start, int64_t trim_end,
+                          int64_t varseg_chunk, float varseg_thresh,
+                          float delta,
+                          int64_t* starts, int64_t* ends,
+                          float* meds, float* mads,
+                          int32_t nthreads) {
     if (nthreads <= 0) {
         nthreads = (int32_t)std::thread::hardware_concurrency();
         if (nthreads <= 0) nthreads = 1;
@@ -139,9 +152,13 @@ void ft_preprocess_batch(float* signals, const int64_t* offsets,
                                 varseg_thresh, &start, &end);
             starts[i] = start;
             ends[i] = end;
+            if (meds) meds[i] = 0.0f;
+            if (mads) mads[i] = 0.0f;
             if (start >= end) continue;
             if (delta == 0.0f) {
-                ft_medmad_normalise(raw + start, end - start);
+                ft_medmad_normalise2(raw + start, end - start,
+                                     meds ? meds + i : nullptr,
+                                     mads ? mads + i : nullptr);
             } else {
                 ft_difference_scale(raw + start, end - start, 0.0f, delta);
             }
@@ -154,6 +171,18 @@ void ft_preprocess_batch(float* signals, const int64_t* offsets,
     for (auto& th : pool) th.join();
 }
 
+void ft_preprocess_batch(float* signals, const int64_t* offsets,
+                         int64_t nreads,
+                         int64_t trim_start, int64_t trim_end,
+                         int64_t varseg_chunk, float varseg_thresh,
+                         float delta,
+                         int64_t* starts, int64_t* ends,
+                         int32_t nthreads) {
+    ft_preprocess_batch2(signals, offsets, nreads, trim_start, trim_end,
+                         varseg_chunk, varseg_thresh, delta, starts, ends,
+                         nullptr, nullptr, nthreads);
+}
+
 // Scale ADC counts to pA in place (src/fast5_interface.c:297-303)
 void ft_scale_to_pA(float* x, int64_t n, float offset, float range,
                     float digitisation) {
@@ -161,6 +190,6 @@ void ft_scale_to_pA(float* x, int64_t n, float offset, float range,
     for (int64_t i = 0; i < n; ++i) x[i] = (x[i] + offset) * raw_unit;
 }
 
-int32_t ft_version(void) { return 1; }
+int32_t ft_version(void) { return 2; }
 
 }  // extern "C"
