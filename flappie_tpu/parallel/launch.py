@@ -194,6 +194,9 @@ def merge(nproc: int, flappie_argv: List[str], partdir: str) -> int:
 
 
 def main(argv=None) -> int:
+    from ..cli import honor_jax_platforms
+
+    honor_jax_platforms()  # workers bypass cli.main(), so re-apply here
     argv = sys.argv[1:] if argv is None else argv
     own, flappie_argv = _split_argv(argv)
     args = build_parser().parse_args(own)
