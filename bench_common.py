@@ -37,22 +37,21 @@ def build_batches(
     return batches
 
 
-def pipelined_epoch(
-    dispatch: Callable, batches: Sequence[Tuple[np.ndarray, np.ndarray]], iters: int,
-    depth: int = 4,
+def pipelined(
+    dispatch: Callable, bufs: Sequence[np.ndarray], samples: int, reps: int,
+    depth: int = 8,
 ) -> float:
-    """Dispatch `depth` batches ahead of materialisation; returns
-    samples/s.  A depth-1 queue stalls on the device-launch round trip
-    (through the axon tunnel: ~100+ ms per cycle)."""
+    """Deep-pipelined epoch over packed dispatch buffers: keep `depth`
+    batches in flight before materialising (a depth-1 queue stalls on
+    the device-launch round trip, which through the axon tunnel reaches
+    ~100+ ms per cycle).  Returns samples/s."""
     t0 = time.perf_counter()
-    total = 0
-    pending = []
-    for i in range(iters):
-        batch, lengths = batches[i % len(batches)]
-        pending.append(dispatch(batch, lengths))
-        if len(pending) > depth:
-            _ = [np.asarray(x) for x in pending.pop(0)]
-        total += int(lengths.sum())
+    pending: list = []
+    for _ in range(reps):
+        for buf in bufs:
+            pending.append(dispatch(buf))
+            if len(pending) > depth:
+                _ = np.asarray(pending.pop(0))
     for out in pending:
-        _ = [np.asarray(x) for x in out]
-    return total / (time.perf_counter() - t0)
+        _ = np.asarray(out)
+    return samples * reps / (time.perf_counter() - t0)

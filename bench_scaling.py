@@ -28,7 +28,7 @@ import sys
 
 import numpy as np
 
-from bench_common import build_batches, pipelined_epoch
+from bench_common import build_batches, pipelined
 
 
 def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
@@ -45,13 +45,14 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
     batches = build_batches(B, T, n_batches=2)
 
     # the production path: packed chunk batches sharded over the mesh
-    from bench import build_chunk_batches, chunked_epoch
+    from bench import build_chunk_batches
 
     caller.chunk_batch = max(caller.n_data, 128 // max(1, 128 // B))
     chunk_batches, samples = build_chunk_batches(caller, batches)
     _ = np.asarray(caller.dispatch_packed_chunk(chunk_batches[0]))
     sps = max(
-        chunked_epoch(caller, chunk_batches, samples, max(1, iters // 2))
+        pipelined(caller.dispatch_packed_chunk, chunk_batches, samples,
+                  max(1, iters // 2))
         for _ in range(2)
     )
     return {

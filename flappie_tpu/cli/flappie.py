@@ -126,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi", action="store_true", default=False,
                    help="Basecall every read in multi-read fast5 files "
                         "(the reference only reads the first)")
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="Speed mode: stream the recurrence layer tensors "
+                        "in bfloat16 (FLAPPIE_TPU_RNN_STREAM=bf16; ~23%% "
+                        "less device time at chunk shapes, measured "
+                        "docs/BENCH_e2e_r3.json).  Outputs shift within a "
+                        "measured accuracy band (docs/ACCURACY_r3.json "
+                        "fast_mode entries) instead of being bit-exact "
+                        "to the reference")
     p.add_argument("--jax-profile", default=None, metavar="dir",
                    help="Capture a JAX/XLA device profile of the basecalling "
                         "loop into this directory (view with TensorBoard or "
@@ -157,6 +165,9 @@ def expand_files(args_files):
 
 
 def main(argv=None) -> int:
+    from . import honor_jax_platforms
+
+    honor_jax_platforms()
     parser = build_parser()
     args = parser.parse_args(argv)
 
@@ -180,6 +191,12 @@ def main(argv=None) -> int:
     files = expand_files(args.files)
     if args.limit > 0:
         files = files[: args.limit]
+
+    if args.fast:
+        # must be set before the first trace: the kernels read the
+        # policy at trace time (fresh processes only, like the C's
+        # compile-time BLAS selection)
+        os.environ.setdefault("FLAPPIE_TPU_RNN_STREAM", "bf16")
 
     caller_kw = dict(
         model=args.model,

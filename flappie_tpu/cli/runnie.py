@@ -9,6 +9,7 @@ Emits the ``.run`` text format: a ``# uuid`` line per read followed by
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from functools import partial
 
@@ -101,15 +102,28 @@ def build_parser():
                    help="Maximum device batch size (the reference decodes "
                         "one read per process; here reads bucket and batch "
                         "through the engine like the flappie CLI)")
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="Speed mode: stream the recurrence layer tensors in "
+                        "bfloat16 (FLAPPIE_TPU_RNN_STREAM=bf16); outputs "
+                        "shift within the measured band instead of being "
+                        "bit-exact (see the flappie CLI's --fast)")
     return p
 
 
 def main(argv=None) -> int:
+    from . import honor_jax_platforms
+
+    honor_jax_platforms()
     args = build_parser().parse_args(argv)
     if args.licence:
         print("runnie-tpu: a TPU-native reimplementation of the Runnie basecaller.")
         print("Original Runnie is (c) Oxford Nanopore Technologies, Ltd (ONT Public Licence).")
         return 0
+
+    if args.fast:
+        # must be set before the first trace: the kernels read the
+        # policy at trace time (fresh processes only)
+        os.environ.setdefault("FLAPPIE_TPU_RNN_STREAM", "bf16")
 
     cfg = get_model_config(MODEL)
     params = load_npz(args.checkpoint) if args.checkpoint else init_synthetic(cfg, seed=0)

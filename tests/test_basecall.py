@@ -192,6 +192,30 @@ def test_cli_smoke(tmp_path, norm_signal):
         assert f["read-a/signal"].dtype == np.float32
 
 
+def test_cli_fast_flag(tmp_path, monkeypatch):
+    """--fast sets the bf16 stream policy before the first trace and
+    still basecalls (the numeric band is certified on hardware:
+    tools/fast_mode_accuracy.py)."""
+    import os
+
+    from flappie_tpu.cli.flappie import main
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    monkeypatch.delenv("FLAPPIE_TPU_RNN_STREAM", raising=False)
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    write_single_read_fast5(str(tmp_path / "a.fast5"), raw[:12000], "read-a")
+    out = tmp_path / "out.fastq"
+    try:
+        rc = main(["--fast", str(tmp_path / "a.fast5"), "-o", str(out)])
+        assert rc == 0
+        assert os.environ.get("FLAPPIE_TPU_RNN_STREAM") == "bf16"
+    finally:
+        # main() mutates the process env; a leaked bf16 policy would
+        # silently detune any parity test traced later in this process
+        os.environ.pop("FLAPPIE_TPU_RNN_STREAM", None)
+    assert out.read_text().startswith("@read-a  ")
+
+
 def test_cli_model_help(capsys):
     from flappie_tpu.cli.flappie import main
 

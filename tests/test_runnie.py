@@ -199,3 +199,29 @@ def test_decode_runnie_threads_matches_serial(tmp_path, capsys):
     threaded = capsys.readouterr().out
     assert threaded == serial
     assert serial.count(">") == 6
+
+
+def test_runnie_cli_fast_flag(tmp_path, monkeypatch):
+    """--fast sets the bf16 stream policy before the first trace and
+    still produces a valid .run file (band certified on hardware,
+    tools/fast_mode_accuracy.py)."""
+    import os
+
+    from flappie_tpu.cli.runnie import main as runnie_main
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    monkeypatch.delenv("FLAPPIE_TPU_RNN_STREAM", raising=False)
+    raw = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    f5 = tmp_path / "r.fast5"
+    write_single_read_fast5(str(f5), raw[:9000], "runnie-read")
+    runfile = tmp_path / "out.run"
+    try:
+        rc = runnie_main(["--fast", str(f5), "-o", str(runfile)])
+        assert rc == 0
+        assert os.environ.get("FLAPPIE_TPU_RNN_STREAM") == "bf16"
+    finally:
+        # main() mutates the process env; a leaked bf16 policy would
+        # silently detune any parity test traced later in this process
+        os.environ.pop("FLAPPIE_TPU_RNN_STREAM", None)
+    assert runfile.read_text().startswith("# runnie-read\n")
