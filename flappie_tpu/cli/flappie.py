@@ -131,9 +131,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "in bfloat16 (FLAPPIE_TPU_RNN_STREAM=bf16; ~23%% "
                         "less device time at chunk shapes, measured "
                         "docs/BENCH_e2e_r3.json).  Outputs shift within a "
-                        "measured accuracy band (docs/ACCURACY_r3.json "
-                        "fast_mode entries) instead of being bit-exact "
-                        "to the reference")
+                        "measured accuracy band (tools/fast_mode_accuracy.py "
+                        "-> docs/ACCURACY_fast_r3.json) instead of being "
+                        "bit-exact to the reference")
     p.add_argument("--jax-profile", default=None, metavar="dir",
                    help="Capture a JAX/XLA device profile of the basecalling "
                         "loop into this directory (view with TensorBoard or "

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..basecall import bucket_length
+from ..basecall import _unpack_i16, bucket_length
 from ..decode.runlength import rle_transpost, rle_viterbi, runs_from_selected
 from ..io.run_format import write_run_record
 from ..models.config import get_model_config
@@ -48,16 +48,7 @@ def _device_runnie(params, signal, lengths, cfg, temperature, viterbi_only):
     return nblocks, score, path.astype(jnp.int8), shape_sel, scale_sel
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only"))
-def _device_runnie_packed(params, buf, cfg, temperature, viterbi_only):
-    """One [B, bucket+4] f32 array in, one byte matrix out (every
-    transfer through a tunneled device is a blocking round trip):
-    [B, T path | 4T shape f32 | 4T scale f32 | 4 nblocks i32]."""
-    sig = buf[:, :-4]
-    lengths = buf[:, -4].astype(jnp.int32)
-    nblocks, _, path, shape_sel, scale_sel = _device_runnie(
-        params, sig, lengths, cfg, temperature, viterbi_only
-    )
+def _pack_runnie_out(nblocks, path, shape_sel, scale_sel):
     B, T = path.shape
     bc = jax.lax.bitcast_convert_type
     return jnp.concatenate(
@@ -69,6 +60,32 @@ def _device_runnie_packed(params, buf, cfg, temperature, viterbi_only):
         ],
         axis=1,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only"))
+def _device_runnie_packed(params, buf, cfg, temperature, viterbi_only):
+    """One [B, bucket+4] f32 array in, one byte matrix out (every
+    transfer through a tunneled device is a blocking round trip):
+    [B, T path | 4T shape f32 | 4T scale f32 | 4 nblocks i32]."""
+    sig = buf[:, :-4]
+    lengths = buf[:, -4].astype(jnp.int32)
+    nblocks, _, path, shape_sel, scale_sel = _device_runnie(
+        params, sig, lengths, cfg, temperature, viterbi_only
+    )
+    return _pack_runnie_out(nblocks, path, shape_sel, scale_sel)
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "viterbi_only"))
+def _device_runnie_packed_i16(params, buf, cfg, temperature, viterbi_only):
+    """Halved-bytes twin of _device_runnie_packed: one [B, bucket+16]
+    int16 array in (original ADC counts + bitcast calibration and
+    normalisation scalars), normalised on device by the exact host
+    pipeline (basecall._unpack_i16); same byte matrix out."""
+    sig, lengths, _qlo, _qhi = _unpack_i16(buf)
+    nblocks, _, path, shape_sel, scale_sel = _device_runnie(
+        params, sig, lengths, cfg, temperature, viterbi_only
+    )
+    return _pack_runnie_out(nblocks, path, shape_sel, scale_sel)
 
 
 def _unpack_runnie(buf: np.ndarray, T: int):
@@ -160,19 +177,31 @@ def main(argv=None) -> int:
     for pos, rt in prepped:
         by_bucket.setdefault(bucket_length(rt.active().size), []).append((pos, rt))
 
-    from ..basecall import Basecaller, _Pipeline
+    from ..basecall import Basecaller, _Pipeline, _i16_capable, _upload_mode
 
     def _dispatch(items, bucket):
         B = len(items)
-        sig = np.zeros((B, bucket), np.float32)
         lengths = np.zeros(B, np.int32)
+        zeros = np.zeros(B, np.int32)
+        if _upload_mode() != "f32" and all(_i16_capable(rt) for _, rt in items):
+            adc = np.zeros((B, bucket), np.int16)
+            scal = np.zeros((B, 4), np.float32)
+            scal[:, 3] = 1.0  # pad rows: mad=1 -> exact zero signal
+            for j, (_, rt) in enumerate(items):
+                L = rt.end - rt.start
+                adc[j, :L] = rt.adc[rt.start : rt.end]
+                lengths[j] = L
+                scal[j] = (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
+            buf = Basecaller.pack_chunk_inputs_i16(adc, lengths, zeros, zeros, scal)
+            return (items, bucket), _device_runnie_packed_i16(
+                params, jnp.asarray(buf), cfg, args.temperature, args.viterbi
+            )
+        sig = np.zeros((B, bucket), np.float32)
         for j, (_, rt) in enumerate(items):
             seg = rt.active()
             sig[j, : seg.size] = seg
             lengths[j] = seg.size
-        buf = Basecaller.pack_chunk_inputs(
-            sig, lengths, np.zeros(B, np.int32), np.zeros(B, np.int32)
-        )
+        buf = Basecaller.pack_chunk_inputs(sig, lengths, zeros, zeros)
         return (items, bucket), _device_runnie_packed(
             params, jnp.asarray(buf), cfg, args.temperature, args.viterbi
         )

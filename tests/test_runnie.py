@@ -225,3 +225,36 @@ def test_runnie_cli_fast_flag(tmp_path, monkeypatch):
         # silently detune any parity test traced later in this process
         os.environ.pop("FLAPPIE_TPU_RNN_STREAM", None)
     assert runfile.read_text().startswith("# runnie-read\n")
+
+
+def test_runnie_i16_upload_matches_f32(tmp_path, monkeypatch):
+    """The halved-bytes int16 ADC upload yields a byte-identical .run
+    file to the f32 upload on XLA:CPU (the device prologue replays the
+    exact host normalisation; see basecall._unpack_i16)."""
+    from flappie_tpu.cli.runnie import main as runnie_main
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    raw = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    f5 = tmp_path / "r.fast5"
+    write_single_read_fast5(str(f5), raw[:9000], "runnie-read")
+
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD", "f32")
+    a = tmp_path / "f32.run"
+    assert runnie_main([str(f5), "-o", str(a)]) == 0
+
+    # guard: the fixture read really is i16-capable (otherwise the i16
+    # run would silently fall back to f32 and the comparison is vacuous)
+    from flappie_tpu.basecall import _i16_capable
+    from flappie_tpu.signal.fast5 import read_raw
+    from flappie_tpu.signal.preprocess import normalise_signal, trim_and_segment
+
+    rt = trim_and_segment(read_raw(str(f5), scale_to_pA=True), 200, 10, 100, 0.0)
+    normalise_signal(rt, 0.0)
+    assert _i16_capable(rt)
+
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD", "i16")
+    b = tmp_path / "i16.run"
+    assert runnie_main([str(f5), "-o", str(b)]) == 0
+
+    assert b.read_bytes() == a.read_bytes()
