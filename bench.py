@@ -152,8 +152,15 @@ def main() -> int:
 
     from flappie_tpu.basecall import Basecaller
 
-    B = 64
-    T = 65536
+    # FLAPPIE_TPU_BENCH_GEOM shrinks the workload for smoke-testing the
+    # bench harness itself (e.g. "2x6000x2560x320x4" on XLA:CPU); the
+    # recorded production geometry is the default.
+    global CHUNK, OVERLAP, CB
+    geom = os.environ.get("FLAPPIE_TPU_BENCH_GEOM")
+    if geom:
+        B, T, CHUNK, OVERLAP, CB = (int(x) for x in geom.split("x"))
+    else:
+        B, T = 64, 65536
     reps = 3  # epoch repetitions over the 3 distinct read batches
 
     caller = Basecaller("r941_native", seed=0, compute_trace=False,
