@@ -184,16 +184,29 @@ def main() -> int:
         for a, l, sc in adc_batches
     ]
 
-    # All four are product paths: {chunked, full-read} x {i16 ADC
-    # upload (the default for fast5 reads: half the bytes through the
+    # All are product paths: {chunked, full-read} x {i16 ADC upload
+    # (the default for fast5 reads: half the bytes through the
     # ~75 MB/s tunnel, normalisation on device), f32 (the
-    # normalised-signal fallback)}.  The chip may be time-shared (and
+    # normalised-signal fallback)}, plus the grouped dispatch
+    # (FLAPPIE_TPU_DISPATCH_GROUP: G chunk batches per device round
+    # trip, amortising the tunnel's fixed per-dispatch floor --
+    # docs/PROBE_group_r3.json).  The chip may be time-shared (and
     # the first epoch can still hit cold caches): warm up each
     # program, take the best of three steady-state epochs per path,
     # and report the best path as the headline.
+    G = 3  # bench workload yields 9 chunk batches -> 3 groups of 3
+    grouped_i16 = [
+        np.concatenate(chunk_i16[ofs : ofs + G], axis=0)
+        for ofs in range(0, len(chunk_i16) - G + 1, G)
+    ]
     paths = {
         "chunked_i16": (caller.dispatch_packed_chunk_i16, chunk_i16,
                         samples_i16),
+        f"chunked_i16_g{G}": (
+            lambda b: caller.dispatch_packed_chunk_i16_grouped(b, G),
+            grouped_i16,
+            samples_i16 * len(grouped_i16) * G // max(len(chunk_i16), 1),
+        ),
         "fullread_i16": (caller.dispatch_packed_batch_i16, packed_full_i16,
                          samples_full_i16),
         "chunked_f32": (caller.dispatch_packed_chunk, chunk_batches, samples),

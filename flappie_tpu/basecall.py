@@ -23,6 +23,7 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .decode.seq import path_to_basecall
 from .io.fastx import BasecallResult
@@ -139,6 +140,16 @@ def _upload_mode() -> str:
 
 def _i16_capable(rt) -> bool:
     return rt.adc is not None and rt.cal is not None and rt.norm is not None
+
+
+def _dispatch_group() -> int:
+    """FLAPPIE_TPU_DISPATCH_GROUP: chunk batches shipped per device
+    round trip (default 1).  Grouping amortises the tunneled device's
+    fixed per-dispatch cost; outputs are byte-identical either way."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_DISPATCH_GROUP")
+    return max(1, int(v)) if v else 1
 
 
 def _chaos_maybe_fail_dispatch() -> None:
@@ -350,6 +361,41 @@ def _device_basecall_chunk_packed_i16(params, buf, cfg: ModelConfig, temperature
     parts.append(jax.lax.bitcast_convert_type(score, jnp.uint8).reshape(B, 4))
     parts.append(jax.lax.bitcast_convert_type(nblocks.astype(jnp.int32), jnp.uint8).reshape(B, 4))
     return jnp.concatenate(parts, axis=1)
+
+
+@partial(jax.jit, static_argnames=("G", "cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_chunk_packed_grouped(params, buf, G: int, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str):
+    """Grouped dispatch: G chunk batches in ONE round trip.
+
+    Through the tunneled device every dispatch pays a fixed ~30 ms
+    round-trip floor on top of the payload transfer
+    (docs/PROBE_dispatch_r3.json), so the production path can ship G
+    packed batches as one [G*CB, chunk+4] array; the device runs the
+    batches sequentially (lax.map keeps peak memory at one batch) and
+    returns one concatenated byte matrix.  Identical math per batch --
+    outputs are byte-identical to G separate dispatches.
+    """
+    rows = buf.shape[0] // G
+    out = lax.map(
+        lambda b: _device_basecall_chunk_packed(
+            params, b, cfg, temperature, viterbi_only, compute_trace, rnn_impl
+        ),
+        buf.reshape(G, rows, buf.shape[1]),
+    )
+    return out.reshape(G * rows, out.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("G", "cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_chunk_packed_i16_grouped(params, buf, G: int, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str):
+    """int16-upload variant of the grouped chunk dispatch."""
+    rows = buf.shape[0] // G
+    out = lax.map(
+        lambda b: _device_basecall_chunk_packed_i16(
+            params, b, cfg, temperature, viterbi_only, compute_trace, rnn_impl
+        ),
+        buf.reshape(G, rows, buf.shape[1]),
+    )
+    return out.reshape(G * rows, out.shape[-1])
 
 
 def _unpack_chunk_outputs(buf: np.ndarray, T1: int, nstate: int, compute_trace: bool):
@@ -647,6 +693,23 @@ class Basecaller:
             self.rnn_impl,
         )
 
+    def dispatch_packed_chunk_grouped(self, buf, G: int):
+        """G packed chunk batches in one round trip (see
+        _device_basecall_chunk_packed_grouped)."""
+        _chaos_maybe_fail_dispatch()
+        return _device_basecall_chunk_packed_grouped(
+            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
+            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        )
+
+    def dispatch_packed_chunk_i16_grouped(self, buf, G: int):
+        """int16-ADC grouped variant of dispatch_packed_chunk_grouped."""
+        _chaos_maybe_fail_dispatch()
+        return _device_basecall_chunk_packed_i16_grouped(
+            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
+            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        )
+
     def unpack_chunk_outputs(self, buf: np.ndarray):
         T1 = self.chunk // self.cfg.total_stride + 1
         return _unpack_chunk_outputs(buf, T1, self.cfg.nstate, self.compute_trace)
@@ -693,7 +756,8 @@ class Basecaller:
         # handful of chunks does not pay for a full batch of padding.
         CB = min(self.chunk_batch, bucket_length(len(jobs), 8))
 
-        def _dispatch(job_slice):
+        def _pack(job_slice):
+            """One packed [CB, ...] upload buffer -> (kind, buf)."""
             # dummy rows: a few valid samples, empty score range
             lengths = np.full(CB, stride, np.int32)
             qlo = np.zeros(CB, np.int32)
@@ -708,16 +772,25 @@ class Basecaller:
                     qlo[j] = r.qlo
                     qhi[j] = r.qhi
                     scal[j] = state[i]["scal"]
-                return job_slice, self.dispatch_packed_chunk_i16(
-                    self.pack_chunk_inputs_i16(adc, lengths, qlo, qhi, scal)
-                )
+                return "i16", self.pack_chunk_inputs_i16(adc, lengths, qlo, qhi, scal)
             sig = np.zeros((CB, chunk_T), F32)
             for j, (i, r) in enumerate(job_slice):
                 sig[j, : r.length] = state[i]["seg"][r.start : r.start + r.length]
                 lengths[j] = r.length
                 qlo[j] = r.qlo
                 qhi[j] = r.qhi
-            return job_slice, self.call_chunk_batch_device(sig, lengths, qlo, qhi)
+            return "f32", self.pack_chunk_inputs(sig, lengths, qlo, qhi)
+
+        def _dispatch_one(kind, buf):
+            return (self.dispatch_packed_chunk_i16(buf) if kind == "i16"
+                    else self.dispatch_packed_chunk(buf))
+
+        def _dispatch_grouped(kind, bufs):
+            buf = np.concatenate(bufs, axis=0)
+            g = len(bufs)
+            return (self.dispatch_packed_chunk_i16_grouped(buf, g)
+                    if kind == "i16"
+                    else self.dispatch_packed_chunk_grouped(buf, g))
 
         def _finish(i):
             st = state[i]
@@ -760,13 +833,55 @@ class Basecaller:
                 st["remaining"] -= 1
                 _finish(i)
 
+        # Dispatch grouping (FLAPPIE_TPU_DISPATCH_GROUP, default 1):
+        # G consecutive same-format batches ship as ONE device round
+        # trip, amortising the tunnel's fixed per-dispatch floor
+        # (docs/PROBE_group_r3.json).  Exactly-G groups reuse one
+        # compiled program; leftovers go through the single-batch
+        # program.  A failed grouped dispatch drops only its G batches.
+        G = _dispatch_group()
         pipe = _Pipeline(_collect, on_error=_on_error)
+        pend_kind, pend_parts, pend_bufs = None, [], []
+
+        def _flush_singles():
+            for part, buf in zip(pend_parts, pend_bufs):
+                try:
+                    pipe.push(part, _dispatch_one(pend_kind, buf))
+                except Exception as exc:  # noqa: BLE001 - batch isolation
+                    _on_error(part, exc)
+            pend_parts.clear()
+            pend_bufs.clear()
+
+        def _flush_group():
+            slice_all = [j for p in pend_parts for j in p]
+            try:
+                pipe.push(slice_all, _dispatch_grouped(pend_kind, pend_bufs))
+            except Exception as exc:  # noqa: BLE001 - batch isolation
+                _on_error(slice_all, exc)
+            pend_parts.clear()
+            pend_bufs.clear()
+
         for ofs in range(0, len(jobs), CB):
             part = jobs[ofs : ofs + CB]
             try:
-                pipe.push(*_dispatch(part))
+                kind, buf = _pack(part)
             except Exception as exc:  # noqa: BLE001 - batch isolation
                 _on_error(part, exc)
+                continue
+            if G <= 1:
+                try:
+                    pipe.push(part, _dispatch_one(kind, buf))
+                except Exception as exc:  # noqa: BLE001
+                    _on_error(part, exc)
+                continue
+            if pend_bufs and kind != pend_kind:
+                _flush_singles()
+            pend_kind = kind
+            pend_parts.append(part)
+            pend_bufs.append(buf)
+            if len(pend_bufs) == G:
+                _flush_group()
+        _flush_singles()
         pipe.drain()
 
     # -- chunked long-read path --------------------------------------------

@@ -43,6 +43,20 @@ def main(argv=None) -> int:
     t2n.add_argument("--scale", action="store_true",
                      help="apply x1.4826 MAD scale to the first conv")
 
+    s2n = sub.add_parser(
+        "sloika2npz",
+        help="legacy sloika pickle -> npz (misc/parse_*.py replacement)",
+    )
+    s2n.add_argument("pickle")
+    s2n.add_argument("npz")
+    s2n.add_argument(
+        "--flavour", required=True,
+        choices=("flipflop_gru", "flipflop_grumod", "runlength"),
+        help="which reference parser the pickle targets: parse_flipflop"
+             " | parse_flipflop_guppy | parse_runlen",
+    )
+    s2n.add_argument("--name", default="sloika")
+
     sy = sub.add_parser("synth", help="deterministic synthetic checkpoint")
     sy.add_argument("npz")
     sy.add_argument("--model", required=True)
@@ -82,6 +96,14 @@ def main(argv=None) -> int:
         params = convert_state_dict(state, cfg, scale_first_conv=args.scale)
         save_npz(args.npz, params, cfg)
         print(f"wrote {args.npz}")
+    elif args.cmd == "sloika2npz":
+        from ..weights.sloika import convert_sloika_pickle, save_sloika_npz
+
+        cfg, params = convert_sloika_pickle(args.pickle, args.flavour, args.name)
+        save_sloika_npz(args.npz, cfg, params)
+        print(f"wrote {args.npz}: {cfg.head} nbase={cfg.nbase} "
+              f"convs={[c.out_ch for c in cfg.convs]} "
+              f"rnns={[(r.kind, r.size, 'B' if r.backward else 'F') for r in cfg.rnns]}")
     elif args.cmd == "synth":
         cfg = get_model_config(args.model)
         params = init_synthetic(cfg, seed=args.seed)

@@ -19,8 +19,10 @@ from typing import List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.special import logsumexp as jax_logsumexp
 
 from ..ops.crf import (
+    TransIndex,
     crf_backward,
     crf_forward,
     crf_viterbi,
@@ -28,6 +30,93 @@ from ..ops.crf import (
 )
 
 BASES = "ACGT"
+
+
+# ---------------------------------------------------------------------------
+# V1 run-length model (reference decode_runlength / posterior_runlength,
+# src/decode.c:692-892).  The V1 chain has nbase states (one per base);
+# a block either MOVES to a different base (weight depends only on the
+# destination) or STAYS in the same base.  Parameter layout per block
+# (src/decode.c:688-691): [shape x nbase, scale x nbase, move x nbase,
+# stay x nbase].
+# ---------------------------------------------------------------------------
+
+
+def rle_v1_index(nbase: int) -> TransIndex:
+    """TransIndex for the V1 chain so the generic batched CRF scans
+    apply: dense[from=b2, to=b1] = move[b1] if b2 != b1 else stay[b1].
+
+    Viterbi tie order (src/decode.c:720-747): the move winner is the
+    first argmax over origins (lowest b2 wins ties) and the stay
+    replaces it only on strictly greater score -- rank = b2 for moves,
+    nbase for the stay.  from_state/to_state are left empty (a V1
+    param serves several origins, so per-param gathers are undefined;
+    the V1 posterior has its own formulation below).
+    """
+    nparam = 4 * nbase
+    param_idx = np.full((nbase, nbase), -1, dtype=np.int32)
+    tie_rank = np.full((nbase, nbase), 10**6, dtype=np.int32)
+    for b2 in range(nbase):
+        for b1 in range(nbase):
+            param_idx[b2, b1] = (3 * nbase + b1) if b2 == b1 else (2 * nbase + b1)
+            tie_rank[b2, b1] = nbase if b2 == b1 else b2
+    allowed = np.ones((nbase, nbase), dtype=bool)
+    empty = np.zeros(0, dtype=np.int32)
+    return TransIndex(nbase, nbase, nparam, empty, empty, param_idx, allowed, tie_rank)
+
+
+def rle_v1_viterbi(params, nblocks, nbase: int = 4):
+    """Batched decode_runlength (src/decode.c:692-770).
+
+    params: [B, T, 4*nbase]; returns (score [B], path [B, T] int32)
+    with the reference convention: path[t] = base moved into at block
+    t, or -1 when block t is a stay.
+    """
+    idx = rle_v1_index(nbase)
+    score, states, _ = crf_viterbi(params, nblocks, nbase, idx=idx)
+    # states: [B, T+1]; a V1 transition is a stay iff the state repeats
+    # (a move to the same base is not representable in the chain)
+    prev, curr = states[:, :-1], states[:, 1:]
+    path = jnp.where(curr != prev, curr, -1)
+    T = params.shape[1]
+    valid = jnp.arange(T)[None, :] < jnp.asarray(nblocks)[:, None]
+    return score, jnp.where(valid, path, -1)
+
+
+def rle_v1_posterior(params, nblocks, nbase: int = 4):
+    """Batched posterior_runlength (src/decode.c:795-892).
+
+    Returns [B, T, 4*nbase] with the move/stay slots holding the
+    UNNORMALISED log posterior (alpha/beta products, exactly the
+    reference's quantities) and the shape/scale slots zero (the
+    reference leaves those rows untouched in its output matrix).
+
+    post[move b1, t]  = lse_{b2 != b1}(alpha_t[b2]) + move_t[b1] + beta_{t+1}[b1]
+    post[stay b,  t]  = alpha_t[b] + stay_t[b] + beta_{t+1}[b]
+    """
+    idx = rle_v1_index(nbase)
+    move = params[..., 2 * nbase : 3 * nbase]
+    stay = params[..., 3 * nbase :]
+    alphas, _ = crf_forward(params, nblocks, nbase, idx=idx)  # [B, T+1, nbase]
+    betas = crf_backward(params, nblocks, nbase, idx=idx)
+    a, b = alphas[:, :-1], betas[:, 1:]
+    # lse over origins b2 != b1: total minus own term, computed stably
+    total = jnp.asarray(
+        jax_logsumexp(a, axis=-1, keepdims=True), params.dtype
+    )
+    excl = total + jnp.log1p(
+        -jnp.clip(jnp.exp(a - total), None, 1.0 - 1e-7)
+    )
+    post_move = excl + move + b
+    post_stay = a + stay + b
+    zeros = jnp.zeros_like(params[..., : 2 * nbase])
+    return jnp.concatenate([zeros, post_move, post_stay], axis=-1)
+
+
+def runlengths_unit(path: np.ndarray, nbase: int = 4) -> np.ndarray:
+    """Unit run length per move block; 0 for stays (src/decode.c:610-632)."""
+    s = np.asarray(path)
+    return ((s >= 0) & (s < nbase)).astype(np.int64)
 
 
 def rle_split(params, nbase: int):

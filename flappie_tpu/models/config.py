@@ -42,6 +42,10 @@ class RnnSpec:
     kind: str
     size: int
     backward: bool
+    # sloika-era graphs add the layer input back onto the recurrence
+    # output (residual_inplace, src/layers.c:338-354; used by
+    # flipflop_gru_transitions, src/networks.c:403-448)
+    residual: bool = False
 
 
 @dataclass(frozen=True)

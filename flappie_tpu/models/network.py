@@ -164,7 +164,9 @@ def _rnn_stack_fused_tm(params, cfg: ModelConfig, x, lengths):
 
 def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):
     impl = _resolve_impl(rnn_impl)
-    if impl == "pallas" and all(r.kind in ("lstm", "grumod") for r in cfg.rnns):
+    if impl == "pallas" and all(
+        r.kind in ("lstm", "grumod") and not r.residual for r in cfg.rnns
+    ):
         return _rnn_stack_fused_tm(params, cfg, x, lengths)
     for i, r in enumerate(cfg.rnns):
         p = params[f"rnn{i}"]
@@ -183,6 +185,11 @@ def rnn_stack(params, cfg: ModelConfig, x, lengths, rnn_impl: str = "auto"):
             raise ValueError(f"unknown rnn kind {r.kind!r}")
         if r.backward:
             y = reverse_sequence(y, lengths)
+        if r.residual:
+            # residual_inplace (src/layers.c:338-354): layer input
+            # added onto the recurrence output, as in the sloika
+            # graphs (src/networks.c:415,421,427,433,439)
+            y = y + x
         x = mask_tail(y, lengths)
     return x
 

@@ -265,3 +265,27 @@ def test_chunked_5mc_matches_full_read():
     qb = np.frombuffer(b.quality.encode(), np.uint8).astype(int)
     assert np.abs(qa - qb).max() <= 1
     assert abs(a.score - b.score) < 0.02
+
+
+def test_grouped_dispatch_byte_identity(cfg_params, monkeypatch):
+    """FLAPPIE_TPU_DISPATCH_GROUP=2 ships two packed chunk batches per
+    device round trip (one lax.map'd program); results must be
+    byte-identical to per-batch dispatch, including the leftover-tail
+    single-batch path (3 long reads -> chunk-batch groups of 2 + 1)."""
+    cfg, params = cfg_params
+    raws = [_tiled(RAW, 30000 + 2000 * k) for k in range(3)]
+    reads = lambda: [
+        RawTable(uuid=f"g{k}", n=r.size, start=0, end=r.size, raw=r.copy())
+        for k, r in enumerate(raws)
+    ]
+    chk = Basecaller(cfg, params=params, chunk=CHUNK, overlap=OVERLAP,
+                     compute_trace=True, chunk_batch=8)
+    base = chk.basecall_raw_tables(reads())
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", "2")
+    grp = chk.basecall_raw_tables(reads())
+    assert [r.uuid for r in grp] == [r.uuid for r in base]
+    for a, b in zip(base, grp):
+        assert b.basecall == a.basecall
+        assert b.quality == a.quality
+        assert b.score == a.score
+        assert np.array_equal(a.trace, b.trace)

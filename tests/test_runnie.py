@@ -258,3 +258,128 @@ def test_runnie_i16_upload_matches_f32(tmp_path, monkeypatch):
     assert runnie_main([str(f5), "-o", str(b)]) == 0
 
     assert b.read_bytes() == a.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# V1 run-length decoders (reference src/decode.c:692-892) vs a direct
+# transcription of the C loops
+# ---------------------------------------------------------------------------
+
+
+def _c_decode_runlength(param):
+    """Transcription of decode_runlength (src/decode.c:692-770).
+
+    param: [T, 4*nbase] float32.  Returns (logscore, path) with the
+    reference's conventions (first-argmax move ties, stay on strict >).
+    """
+    T, nparam = param.shape
+    nbase = nparam // 4
+    prev = np.zeros(nbase, np.float32)
+    tb = np.zeros((T, nbase), np.int64)
+    for blk in range(T):
+        move = param[blk, 2 * nbase : 3 * nbase]
+        stay = param[blk, 3 * nbase :]
+        idx = int(np.argmax(prev))
+        mx = prev[idx]
+        tmp = prev.copy()
+        tmp[idx] = -np.inf
+        idx2 = int(np.argmax(tmp))
+        curr = np.full(nbase, mx, np.float32)
+        tb[blk, :] = idx
+        curr[idx] = prev[idx2]
+        tb[blk, idx] = idx2
+        curr = (curr + move).astype(np.float32)
+        for b in range(nbase):
+            st = np.float32(prev[b] + stay[b])
+            if st > curr[b]:
+                curr[b] = st
+                tb[blk, b] = b + nbase
+        prev = curr
+    path = np.full(T, -1, np.int64)
+    last = int(np.argmax(prev))
+    logscore = prev[last]
+    for blk in range(T, 0, -1):
+        state = tb[blk - 1, last]
+        if state < nbase:
+            path[blk - 1] = last
+            last = int(state)
+    return float(logscore), path
+
+
+def _c_posterior_runlength(param):
+    """Transcription of posterior_runlength (src/decode.c:795-892),
+    in float64 (the tolerance oracle; fwd/bwd ordering differences are
+    washout-level)."""
+    T, nparam = param.shape
+    nbase = nparam // 4
+    p = param.astype(np.float64)
+    fwd = np.zeros((T + 1, nbase))
+    for blk in range(T):
+        move = p[blk, 2 * nbase : 3 * nbase]
+        stay = p[blk, 3 * nbase :]
+        for b1 in range(nbase):
+            others = [fwd[blk, b2] for b2 in range(nbase) if b2 != b1]
+            fwd[blk + 1, b1] = np.logaddexp.reduce(others) + move[b1]
+        for b in range(nbase):
+            fwd[blk + 1, b] = np.logaddexp(fwd[blk + 1, b], fwd[blk, b] + stay[b])
+    post = np.zeros((T, nparam))
+    curr = np.zeros(nbase)
+    for blk in range(T - 1, -1, -1):
+        move = p[blk, 2 * nbase : 3 * nbase]
+        stay = p[blk, 3 * nbase :]
+        prev = curr.copy()
+        for b1 in range(nbase):
+            others = [prev[b2] + move[b2] for b2 in range(nbase) if b2 != b1]
+            curr[b1] = np.logaddexp.reduce(others)
+            post[blk, 2 * nbase + b1] = (
+                np.logaddexp.reduce([fwd[blk, b2] for b2 in range(nbase) if b2 != b1])
+                + prev[b1] + move[b1]
+            )
+        for b in range(nbase):
+            curr[b] = np.logaddexp(curr[b], prev[b] + stay[b])
+            post[blk, 3 * nbase + b] = fwd[blk, b] + stay[b] + prev[b]
+    return post
+
+
+def test_rle_v1_viterbi_matches_c_loops():
+    from flappie_tpu.decode.runlength import rle_v1_viterbi
+
+    rng = np.random.default_rng(7)
+    B, T, nbase = 3, 23, 4
+    params = rng.normal(0, 2, size=(B, T, 4 * nbase)).astype(np.float32)
+    # inject exact ties to exercise the tie ranks
+    params[:, 5, 2 * nbase :] = 0.0
+    params[:, 6, :] = params[:, 5, :]
+    nblocks = np.array([T, 17, 1], np.int32)
+    score, path = rle_v1_viterbi(jnp.asarray(params), jnp.asarray(nblocks), nbase)
+    score, path = np.asarray(score), np.asarray(path)
+    for b in range(B):
+        ref_score, ref_path = _c_decode_runlength(params[b, : nblocks[b]])
+        assert np.isclose(score[b], ref_score, rtol=0, atol=1e-5), b
+        np.testing.assert_array_equal(path[b, : nblocks[b]], ref_path)
+        assert (path[b, nblocks[b] :] == -1).all()
+
+
+def test_rle_v1_posterior_matches_oracle():
+    from flappie_tpu.decode.runlength import rle_v1_posterior
+
+    rng = np.random.default_rng(11)
+    B, T, nbase = 2, 19, 4
+    params = rng.normal(0, 1.5, size=(B, T, 4 * nbase)).astype(np.float32)
+    nblocks = np.array([T, 12], np.int32)
+    post = np.asarray(rle_v1_posterior(jnp.asarray(params), jnp.asarray(nblocks), nbase))
+    for b in range(B):
+        ref = _c_posterior_runlength(params[b, : nblocks[b]])
+        got = post[b, : nblocks[b]]
+        assert np.allclose(got[:, 2 * nbase :], ref[:, 2 * nbase :],
+                           rtol=1e-4, atol=1e-4)
+        assert (got[:, : 2 * nbase] == 0).all()
+
+
+def test_runlengths_unit():
+    from flappie_tpu.decode.runlength import runlengths_unit
+
+    path = np.array([2, -1, 0, -1, -1, 3], np.int64)
+    np.testing.assert_array_equal(
+        runlengths_unit(path), [1, 0, 1, 0, 0, 1]
+    )
