@@ -149,7 +149,25 @@ def _lse(x, axis):
     return jax.scipy.special.logsumexp(x, axis=axis)
 
 
-CRF_TIME_BLOCK = 16
+# Optional hard override of the scan unroll block (sweep/measurement
+# knob); None = resolve per backend at call time, see _time_block().
+CRF_TIME_BLOCK = None
+
+
+def _time_block() -> int:
+    """Scan unroll block K.  Swept on v5e at the chunk shape
+    (docs/BENCH_decode_r3.json + K sweep: 17.8 ms @16, 14.7 @64,
+    16.4 @96, 18.7 @128 for the fb decode chain) -> 64 on TPU;
+    16 elsewhere (CPU parity/CI, where larger unrolls only slow
+    compile).  FLAPPIE_TPU_CRF_K overrides."""
+    if CRF_TIME_BLOCK is not None:
+        return CRF_TIME_BLOCK
+    import os
+
+    env = os.environ.get("FLAPPIE_TPU_CRF_K")
+    if env:
+        return int(env)
+    return 64 if jax.default_backend() == "tpu" else 16
 
 
 def _impl() -> str:
@@ -199,7 +217,7 @@ def _scan_blocked(step, init, xs, K: int | None = None):
     against unrolled-body size.
     """
     if K is None:
-        K = CRF_TIME_BLOCK
+        K = _time_block()
     T = jax.tree.leaves(xs)[0].shape[0]
     Tp = -(-T // K) * K
     if Tp != T:
