@@ -216,8 +216,11 @@ def main() -> int:
     epochs = {}
     for name, (dispatch, bufs, n) in paths.items():
         _ = np.asarray(dispatch(bufs[0]))  # warm up (compile)
+        # tunnel throughput swings ~±40% epoch to epoch (external
+        # contention); 5 best-of epochs per path keeps the recorded
+        # number close to the uncontended rate
         epochs[name] = [pipelined(dispatch, bufs, n, reps)
-                        for _ in range(3)]
+                        for _ in range(5)]
     best = {name: max(es) for name, es in epochs.items()}
     sps = max(best.values())
 

@@ -143,13 +143,19 @@ def _i16_capable(rt) -> bool:
 
 
 def _dispatch_group() -> int:
-    """FLAPPIE_TPU_DISPATCH_GROUP: chunk batches shipped per device
-    round trip (default 1).  Grouping amortises the tunneled device's
-    fixed per-dispatch cost; outputs are byte-identical either way."""
+    """Chunk batches shipped per device round trip.
+
+    FLAPPIE_TPU_DISPATCH_GROUP overrides; default 4 on TPU (measured
+    +24% end-to-end at CB=128 chunk batches, docs/PROBE_group_r3.json:
+    the fixed per-dispatch round-trip floor is paid once per G
+    batches), 1 elsewhere (no tunnel to amortise; keeps CPU CI on the
+    single-batch program).  Outputs are byte-identical either way."""
     import os
 
     v = os.environ.get("FLAPPIE_TPU_DISPATCH_GROUP")
-    return max(1, int(v)) if v else 1
+    if v:
+        return max(1, int(v))
+    return 4 if jax.default_backend() == "tpu" else 1
 
 
 def _chaos_maybe_fail_dispatch() -> None:

@@ -36,6 +36,23 @@ def _lse(x, axis):
     return jax.scipy.special.logsumexp(x, axis=axis)
 
 
+def _use_kernels() -> bool:
+    """FLAPPIE_TPU_SCANB_KERNELS: run the four decode scans as Pallas
+    kernels (ops/crf_bm_pallas.py) instead of blocked lax.scan.
+    ``auto`` (default) = on when the backend is TPU: measured 2x at
+    the chunk shape (fb decode 15.05 -> 7.47 ms, viterbi-only 11.02 ->
+    6.34 ms at [128, 2560], docs/BENCH_decode_r3.json "kernels" rows);
+    ``off`` forces the scans (the formulation reference, and what CPU
+    golden/parity suites run).  Max-plus passes are bit-identical
+    either way; the sum semiring agrees to reassociation tolerance."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_SCANB_KERNELS", "auto")
+    if v == "auto":
+        return jax.default_backend() == "tpu"
+    return v in ("1", "on", "true")
+
+
 def _dense_tm(trans_tm, idx: TransIndex):
     """[T, P, B] -> [T, S, S, B] (from, to); forbidden = NEG_BIG."""
     T, P, B = trans_tm.shape
@@ -51,6 +68,11 @@ def _fwd_states_tm(dense_tm, tvalid_tm):
     T, S, _, B = dense_tm.shape
     a0 = jnp.zeros((S, B), dense_tm.dtype)
 
+    if _use_kernels():
+        from .crf_bm_pallas import fwd_states_pallas
+
+        return fwd_states_pallas(dense_tm, tvalid_tm)
+
     def step(alpha, inp):
         m, valid = inp  # [S, S, B], [B]
         nxt = _lse(alpha[:, None, :] + m, axis=0)
@@ -65,6 +87,11 @@ def _bwd_states_tm(dense_tm, tvalid_tm):
     """betas [T+1, S, B]: beta[T]=0, beta[t]=lse_j m[t,i,j]+beta[t+1,j]."""
     T, S, _, B = dense_tm.shape
     b_end = jnp.zeros((S, B), dense_tm.dtype)
+
+    if _use_kernels():
+        from .crf_bm_pallas import bwd_states_pallas
+
+        return bwd_states_pallas(dense_tm, tvalid_tm)
 
     def step(beta, inp):
         m, valid = inp
@@ -109,7 +136,12 @@ def _viterbi_fwd_tm(dense_tm, tvalid_tm, idx: TransIndex):
         bp = jnp.where(valid[None, :], bp, ident)
         return alpha_next, bp
 
-    alpha, bps = _scan_blocked(step, a0, (dense_tm, tvalid_tm))
+    if _use_kernels():
+        from .crf_bm_pallas import viterbi_fwd_pallas
+
+        alpha, bps = viterbi_fwd_pallas(dense_tm, tvalid_tm, idx.tie_rank)
+    else:
+        alpha, bps = _scan_blocked(step, a0, (dense_tm, tvalid_tm))
     score = jnp.max(alpha, axis=0)
     last_state = jnp.argmax(alpha, axis=0).astype(jnp.int32)
     return score, last_state, bps
@@ -126,6 +158,11 @@ def _traceback_tm(backptr_tm, last_state, tvalid_tm):
         )[0].astype(jnp.int32)
         state = jnp.where(valid, prev, state)
         return state, state
+
+    if _use_kernels():
+        from .crf_bm_pallas import traceback_pallas
+
+        return traceback_pallas(backptr_tm, tvalid_tm, last_state)
 
     _, states_rev = _scan_blocked(
         step, last_state, (backptr_tm[::-1], tvalid_tm[::-1])

@@ -99,3 +99,61 @@ def test_bm_fused_decode_matches_composed(monkeypatch, viterbi_only, compute_tra
             ta = np.asarray(tr_ref)[b, : nbk + 1].astype(int)
             tb = np.asarray(tr_bm)[b, : nbk + 1].astype(int)
             assert np.abs(ta - tb).max() <= 1
+
+
+def test_bm_pallas_kernels_match_scans(monkeypatch):
+    """The Pallas decode kernels (interpret mode off-TPU) must match
+    the blocked-scan batch-minor implementations: max-plus passes
+    (viterbi alphas/backpointers, traceback) bit-exactly, sum-semiring
+    states to reassociation tolerance, and the full decode_bm chain's
+    sequence/path bytes exactly on this input."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flappie_tpu.ops import crf_bm
+    from flappie_tpu.ops.crf import flipflop_index
+
+    rng = np.random.default_rng(5)
+    B, T, nbase = 8, 75, 4
+    idx = flipflop_index(nbase)
+    trans = rng.normal(0, 2, size=(B, T, idx.nparam)).astype(np.float32)
+    trans[:, 9] = trans[:, 8]  # exact repeats to probe tie order
+    nblocks = np.array([T, 60, 1, T, 33, T, 2, 17], np.int32)
+
+    trans_tm = jnp.asarray(trans).transpose(1, 2, 0)
+    tvalid = jnp.arange(T)[:, None] < jnp.asarray(nblocks)[None, :]
+    dense = crf_bm._dense_tm(trans_tm, idx)
+
+    def both(fn, *args):
+        monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "off")
+        a = np.asarray(fn(*args))
+        monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "on")
+        b = np.asarray(fn(*args))
+        return a, b
+
+    a, b = both(crf_bm._fwd_states_tm, dense, tvalid)
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-5)
+    a, b = both(crf_bm._bwd_states_tm, dense, tvalid)
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-5)
+
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "off")
+    s_a, l_a, bp_a = (np.asarray(x) for x in crf_bm._viterbi_fwd_tm(dense, tvalid, idx))
+    path_a = np.asarray(crf_bm._traceback_tm(jnp.asarray(bp_a), jnp.asarray(l_a), tvalid))
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "on")
+    s_b, l_b, bp_b = (np.asarray(x) for x in crf_bm._viterbi_fwd_tm(dense, tvalid, idx))
+    path_b = np.asarray(crf_bm._traceback_tm(jnp.asarray(bp_b), jnp.asarray(l_b), tvalid))
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(l_a, l_b)
+    np.testing.assert_array_equal(bp_a.astype(np.int32), bp_b.astype(np.int32))
+    np.testing.assert_array_equal(path_a, path_b)
+
+    # full chain: identical path/sequence bytes, posterior within band
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "off")
+    score_a, p_a, q_a, tr_a = (np.asarray(x) for x in crf_bm.decode_bm(
+        jnp.asarray(trans), jnp.asarray(nblocks), nbase, False, True))
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "on")
+    score_b, p_b, q_b, tr_b = (np.asarray(x) for x in crf_bm.decode_bm(
+        jnp.asarray(trans), jnp.asarray(nblocks), nbase, False, True))
+    np.testing.assert_array_equal(p_a, p_b)
+    np.testing.assert_allclose(score_a, score_b, rtol=0, atol=1e-4)
+    assert np.abs(tr_a.astype(int) - tr_b.astype(int)).max() <= 1

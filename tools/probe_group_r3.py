@@ -40,7 +40,7 @@ def main() -> int:
           f"samples={samples/1e6:.2f}M", flush=True)
 
     results = {}
-    for G in (1, 2, 4, 8):
+    for G in (1, 2, 3, 4, 8):
         bufs = []
         for ofs in range(0, len(chunk_i16) - G + 1, G):
             bufs.append(np.concatenate(chunk_i16[ofs : ofs + G], axis=0))
