@@ -209,6 +209,11 @@ def main() -> int:
         ),
         "fullread_i16": (caller.dispatch_packed_batch_i16, packed_full_i16,
                          samples_full_i16),
+        "fullread_i16_g3": (
+            lambda b: caller.dispatch_packed_batch_i16_grouped(b, 3),
+            [np.concatenate(packed_full_i16, axis=0)],
+            samples_full_i16,
+        ),
         "chunked_f32": (caller.dispatch_packed_chunk, chunk_batches, samples),
         "fullread_f32": (caller.dispatch_packed_batch, packed_full,
                          samples_full),

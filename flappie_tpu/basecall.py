@@ -404,6 +404,21 @@ def _device_basecall_chunk_packed_i16_grouped(params, buf, G: int, cfg: ModelCon
     return out.reshape(G * rows, out.shape[-1])
 
 
+@partial(jax.jit, static_argnames=("G", "cfg", "temperature", "viterbi_only", "compute_trace", "rnn_impl"))
+def _device_basecall_packed_i16_grouped(params, buf, G: int, cfg: ModelConfig, temperature: float, viterbi_only: bool, compute_trace: bool, rnn_impl: str):
+    """Grouped full-read (bucket) dispatch, int16 upload: G packed
+    [B, bucket+16] batches in one round trip (see the chunked grouped
+    program for rationale)."""
+    rows = buf.shape[0] // G
+    out = lax.map(
+        lambda b: _device_basecall_packed_i16(
+            params, b, cfg, temperature, viterbi_only, compute_trace, rnn_impl
+        ),
+        buf.reshape(G, rows, buf.shape[1]),
+    )
+    return out.reshape(G * rows, out.shape[-1])
+
+
 def _unpack_chunk_outputs(buf: np.ndarray, T1: int, nstate: int, compute_trace: bool):
     """Inverse of the packed layout -> (score, path, qchar, nblocks, trace)."""
     path = buf[:, :T1].astype(np.int8)
@@ -697,6 +712,14 @@ class Basecaller:
             self.viterbi_only,
             self.compute_trace,
             self.rnn_impl,
+        )
+
+    def dispatch_packed_batch_i16_grouped(self, buf, G: int):
+        """Grouped full-read i16 dispatch (G same-bucket batches)."""
+        _chaos_maybe_fail_dispatch()
+        return _device_basecall_packed_i16_grouped(
+            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
+            self.viterbi_only, self.compute_trace, self.rnn_impl,
         )
 
     def dispatch_packed_chunk_grouped(self, buf, G: int):

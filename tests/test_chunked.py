@@ -289,3 +289,23 @@ def test_grouped_dispatch_byte_identity(cfg_params, monkeypatch):
         assert b.quality == a.quality
         assert b.score == a.score
         assert np.array_equal(a.trace, b.trace)
+
+
+def test_grouped_fullread_dispatch_byte_identity(cfg_params):
+    """The grouped full-read i16 program (lax.map over G sub-batches)
+    returns exactly the concatenation of the per-batch outputs."""
+    cfg, params = cfg_params
+    caller = Basecaller(cfg, params=params, chunk=0, compute_trace=False)
+    rng = np.random.default_rng(0)
+    B, T, G = 4, 4096, 3
+    bufs = []
+    for g in range(G):
+        adc = rng.integers(-300, 300, size=(B, T)).astype(np.int16)
+        lengths = np.array([T, T - 50, T // 2, 300], np.int32)
+        scal = np.tile(np.array([16.0, 0.17, 80.0, 11.0], np.float32), (B, 1))
+        bufs.append(Basecaller.pack_chunk_inputs_i16(
+            adc, lengths, np.zeros(B, np.int32), np.zeros(B, np.int32), scal))
+    per = [np.asarray(caller.dispatch_packed_batch_i16(b)) for b in bufs]
+    grp = np.asarray(caller.dispatch_packed_batch_i16_grouped(
+        np.concatenate(bufs, axis=0), G))
+    np.testing.assert_array_equal(grp, np.concatenate(per, axis=0))
