@@ -35,7 +35,18 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-TIME_BLOCK = 64  # same sweep optimum as the blocked scan (BENCH_decode_r3)
+TIME_BLOCK = 64  # sweep optimum at S=8, B=128 (BENCH_decode_r3)
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16M scoped limit
+
+
+def _time_block(per_step_bytes: int) -> int:
+    """Largest power-of-two K <= TIME_BLOCK whose double-buffered
+    pipeline working set fits VMEM (the 5mC model's S=10 states at
+    CB=256 overflow the scoped limit at a fixed K=64)."""
+    K = TIME_BLOCK
+    while K > 1 and K * per_step_bytes > VMEM_BUDGET:
+        K //= 2
+    return K
 
 
 def _pad_time(arrs, K):
@@ -144,8 +155,8 @@ def fwd_states_pallas(dense_tm, tvalid_tm, interpret=None):
     """[T, S, S, B], [T, B] -> alphas [T+1, S, B] (a0 = 0 prepended)."""
     if interpret is None:
         interpret = _use_interpret()
-    K = TIME_BLOCK
     T0, S, _, B = dense_tm.shape
+    K = _time_block(2 * 4 * S * B * (S + 1))
     valid = tvalid_tm.astype(jnp.int32)
     (dense, valid), T, Tp = _pad_time([dense_tm, valid], K)
     out = pl.pallas_call(
@@ -172,8 +183,8 @@ def bwd_states_pallas(dense_tm, tvalid_tm, interpret=None):
     """
     if interpret is None:
         interpret = _use_interpret()
-    K = TIME_BLOCK
     T0, S, _, B = dense_tm.shape
+    K = _time_block(2 * 4 * S * B * (S + 1))
     valid = tvalid_tm.astype(jnp.int32)
     (dense, valid), T, Tp = _pad_time([dense_tm, valid], K)
     N = Tp // K
@@ -201,8 +212,8 @@ def viterbi_fwd_pallas(dense_tm, tvalid_tm, tie_rank, interpret=None):
     """Max-plus forward: (alpha_final [S, B], backptr [T, S, B] int32)."""
     if interpret is None:
         interpret = _use_interpret()
-    K = TIME_BLOCK
     T0, S, _, B = dense_tm.shape
+    K = _time_block(2 * 4 * S * B * (S + 2))
     valid = tvalid_tm.astype(jnp.int32)
     (dense, valid), T, Tp = _pad_time([dense_tm, valid], K)
     rank = jnp.asarray(np.asarray(tie_rank, np.int32))
@@ -234,8 +245,8 @@ def traceback_pallas(backptr_tm, tvalid_tm, last_state, interpret=None):
     """[T, S, B] int backptr, [T, B] valid, [B] last -> path [T+1, B]."""
     if interpret is None:
         interpret = _use_interpret()
-    K = TIME_BLOCK
     T0, S, B = backptr_tm.shape
+    K = _time_block(2 * 4 * B * (S + 1))
     bp = backptr_tm.astype(jnp.int32)
     valid = tvalid_tm.astype(jnp.int32)
     (bp, valid), T, Tp = _pad_time([bp, valid], K)

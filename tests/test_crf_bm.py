@@ -101,12 +101,17 @@ def test_bm_fused_decode_matches_composed(monkeypatch, viterbi_only, compute_tra
             assert np.abs(ta - tb).max() <= 1
 
 
-def test_bm_pallas_kernels_match_scans(monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("nbase,T", [(4, 75), (5, 40)])
+def test_bm_pallas_kernels_match_scans(monkeypatch, nbase, T):
     """The Pallas decode kernels (interpret mode off-TPU) must match
     the blocked-scan batch-minor implementations: max-plus passes
     (viterbi alphas/backpointers, traceback) bit-exactly, sum-semiring
     states to reassociation tolerance, and the full decode_bm chain's
-    sequence/path bytes exactly on this input."""
+    sequence/path bytes exactly on this input.  nbase=5 covers the 5mC
+    model's S=10 state space (odd sublane count)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -114,11 +119,11 @@ def test_bm_pallas_kernels_match_scans(monkeypatch):
     from flappie_tpu.ops.crf import flipflop_index
 
     rng = np.random.default_rng(5)
-    B, T, nbase = 8, 75, 4
+    B = 8
     idx = flipflop_index(nbase)
     trans = rng.normal(0, 2, size=(B, T, idx.nparam)).astype(np.float32)
     trans[:, 9] = trans[:, 8]  # exact repeats to probe tie order
-    nblocks = np.array([T, 60, 1, T, 33, T, 2, 17], np.int32)
+    nblocks = np.minimum(np.array([T, 60, 1, T, 33, T, 2, 17], np.int32), T)
 
     trans_tm = jnp.asarray(trans).transpose(1, 2, 0)
     tvalid = jnp.arange(T)[:, None] < jnp.asarray(nblocks)[None, :]
