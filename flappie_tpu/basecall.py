@@ -862,7 +862,8 @@ class Basecaller:
                 st["remaining"] -= 1
                 _finish(i)
 
-        # Dispatch grouping (FLAPPIE_TPU_DISPATCH_GROUP, default 1):
+        # Dispatch grouping (FLAPPIE_TPU_DISPATCH_GROUP, default 4 on
+        # TPU, 1 elsewhere -- see _dispatch_group):
         # G consecutive same-format batches ship as ONE device round
         # trip, amortising the tunnel's fixed per-dispatch floor
         # (docs/PROBE_group_r3.json).  Exactly-G groups reuse one

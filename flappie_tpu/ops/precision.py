@@ -46,20 +46,37 @@ def set_ff_precision(level: str) -> None:
     _ff_precision = _LEVELS[level.lower()]
 
 
-_rnn_precision = _LEVELS[
-    os.environ.get("FLAPPIE_TPU_RNN_PRECISION", "highest").lower()
-]
+_env_rnn = os.environ.get("FLAPPIE_TPU_RNN_PRECISION", "").lower()
+_rnn_precision = _LEVELS[_env_rnn] if _env_rnn else None
 
 
 def rnn_precision() -> lax.Precision:
     """Precision for the recurrent step matmul inside the Pallas
-    kernels.  Default HIGHEST: its rounding compounds over the
-    sequence.  FLAPPIE_TPU_RNN_PRECISION=default selects one bf16 MXU
-    pass per step: measured ~4e-2 on transition weights (the LSTM
-    forget gate bounds the drift but it is far outside the
-    reference-parity band) for ~1.2x end-to-end throughput - an
-    explicitly opt-in speed mode."""
-    return _rnn_precision
+    kernels.
+
+    Default is backend-dependent.  On TPU: HIGH, which the kernels
+    lower as a manual 3-pass bf16 emulation (~2^-21 mantissa,
+    rnn_pallas._dot_bf16x3) -- measured byte-identical sequences AND
+    qualities against the C-oracle goldens on every fixture case
+    (r941 H=256, the converter-chain checkpoint, 5mC) while cutting
+    the full chunk program 67.2 -> 56.0 ms at [128, 12800]
+    (docs/PROBE_rnnprec_r3.json).  Elsewhere: HIGHEST, i.e. true f32
+    -- the manual bf16x3 split would otherwise execute for real on
+    CPU and perturb the byte-parity suite, and only TPU pays MXU
+    passes for f32 anyway.
+
+    FLAPPIE_TPU_RNN_PRECISION=highest selects the bit-strictest
+    6-pass mode on TPU; =default selects one bf16 pass per step:
+    measured ~4e-2 on transition weights (the LSTM forget gate bounds
+    the drift but it is far outside the reference-parity band) - an
+    explicitly opt-in speed mode (`--fast` pairs it with bf16
+    streaming)."""
+    if _rnn_precision is not None:
+        return _rnn_precision
+    import jax
+
+    return (lax.Precision.HIGH if jax.default_backend() == "tpu"
+            else lax.Precision.HIGHEST)
 
 
 def set_rnn_precision(level: str) -> None:

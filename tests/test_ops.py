@@ -495,3 +495,22 @@ def test_rle_viterbi_tie_break_matches_reference():
         jnp.asarray(trans), jnp.asarray([T]), nbase, idx=idx
     )
     assert np.asarray(backptr)[0, 0, nbase + 1] == 1, "RLE stay tie must keep the move"
+
+
+def test_rnn_precision_default_is_backend_dependent(monkeypatch):
+    """The recurrent-matmul tier defaults to true f32 off-TPU (the
+    manual bf16x3 emulation would really execute on CPU and perturb
+    the parity suite) and HIGH on TPU (byte parity certified on chip,
+    docs/PROBE_rnnprec_r3.json); the env var still pins either."""
+    import jax
+    from jax import lax
+
+    import flappie_tpu.ops.precision as prec
+
+    monkeypatch.setattr(prec, "_rnn_precision", None)
+    expect = (lax.Precision.HIGH if jax.default_backend() == "tpu"
+              else lax.Precision.HIGHEST)
+    assert prec.rnn_precision() == expect
+
+    monkeypatch.setattr(prec, "_rnn_precision", lax.Precision.HIGHEST)
+    assert prec.rnn_precision() == lax.Precision.HIGHEST
