@@ -199,6 +199,14 @@ def main() -> int:
         np.concatenate(chunk_i16[ofs : ofs + G], axis=0)
         for ofs in range(0, len(chunk_i16) - G + 1, G)
     ]
+    # d8 wire (delta-int8 + exceptions, ~0.55x the i16 bytes; see
+    # basecall.encode_d8).  encode_d8 returns None on rows beyond the
+    # exception budget -- the real fixture ADC fits, but guard anyway.
+    from flappie_tpu.basecall import encode_d8
+
+    chunk_d8 = [encode_d8(b) for b in chunk_i16]
+    full_d8 = [encode_d8(b) for b in packed_full_i16]
+    d8_ok = all(b is not None for b in chunk_d8 + full_d8)
     paths = {
         "chunked_i16": (caller.dispatch_packed_chunk_i16, chunk_i16,
                         samples_i16),
@@ -218,6 +226,25 @@ def main() -> int:
         "fullread_f32": (caller.dispatch_packed_batch, packed_full,
                          samples_full),
     }
+    if d8_ok:
+        grouped_d8 = [
+            np.concatenate(chunk_d8[ofs : ofs + G], axis=0)
+            for ofs in range(0, len(chunk_d8) - G + 1, G)
+        ]
+        paths.update({
+            f"chunked_d8_g{G}": (
+                lambda b: caller.dispatch_packed_chunk_d8_grouped(b, G),
+                grouped_d8,
+                samples_i16 * len(grouped_d8) * G // max(len(chunk_d8), 1),
+            ),
+            "fullread_d8": (caller.dispatch_packed_batch_d8, full_d8,
+                            samples_full_i16),
+            "fullread_d8_g3": (
+                lambda b: caller.dispatch_packed_batch_d8_grouped(b, 3),
+                [np.concatenate(full_d8, axis=0)],
+                samples_full_i16,
+            ),
+        })
     epochs = {}
     for name, (dispatch, bufs, n) in paths.items():
         _ = np.asarray(dispatch(bufs[0]))  # warm up (compile)

@@ -180,6 +180,23 @@ def _make_rdot(rnnprec, sw):
     )
 
 
+def _ff_dot(x, w, ffprec):
+    """Block input affine at the feed-forward precision tier.  'high3'
+    is the manual 3-pass bf16 emulation of Precision.HIGH (which Mosaic
+    does not lower natively) -- same algorithm XLA uses for HIGH
+    outside kernels, so the in-kernel affine matches the out-of-kernel
+    FF policy instead of over-spending 6 HIGHEST passes."""
+    if ffprec == "high3":
+        x_hi, x_lo = _split_bf16(x)
+        w_hi, w_lo = _split_bf16(w)
+        d = lambda a, b: jnp.dot(
+            a, b, precision=lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        return d(x_hi, w_hi) + d(x_hi, w_lo) + d(x_lo, w_hi)
+    return jnp.dot(x, w, precision=ffprec, preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Fused layer kernels: input affine computed inside the kernel
 # ---------------------------------------------------------------------------
@@ -215,13 +232,7 @@ def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, 
     # indexing inside the loop; values would need dynamic_slice, which
     # Mosaic does not lower)
     xa_ref[:] = (
-        jnp.dot(
-            x_ref[:].reshape(K * B, IN),
-            iw_ref[:],
-            precision=ffprec,
-            preferred_element_type=jnp.float32,
-        )
-        + b_ref[:]
+        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
     ).reshape(K, B, 4 * H).astype(xa_ref.dtype)
 
     def step(k, carry):
@@ -262,13 +273,7 @@ def _grumod_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref
     sw = sw_ref[:]
     rdot = _make_rdot(rnnprec, sw)
     xa_ref[:] = (
-        jnp.dot(
-            x_ref[:].reshape(K * B, IN),
-            iw_ref[:],
-            precision=ffprec,
-            preferred_element_type=jnp.float32,
-        )
-        + b_ref[:]
+        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
     ).reshape(K, B, 3 * H).astype(xa_ref.dtype)
 
     def step(k, h):
@@ -330,14 +335,17 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
     """
     from .precision import ff_precision
 
-    # Mosaic rejects Precision.HIGH inside kernels; clamp to HIGHEST
-    # (the in-kernel affine is a large efficient matmul, the pass-count
-    # difference is minor there).
+    # Mosaic rejects Precision.HIGH inside kernels.  On TPU lower it as
+    # the manual 3-pass bf16 emulation (same algorithm XLA's HIGH uses
+    # outside kernels); elsewhere clamp to HIGHEST so the CPU parity
+    # suite keeps true-f32 affines (the manual split would execute for
+    # real there).
     from .precision import rnn_precision
 
     ffprec = ff_precision()
     if ffprec == lax.Precision.HIGH:
-        ffprec = lax.Precision.HIGHEST
+        ffprec = ("high3" if jax.default_backend() == "tpu"
+                  else lax.Precision.HIGHEST)
     rnnprec = rnn_precision()
     if rnnprec == lax.Precision.HIGH:
         rnnprec = "high3"  # manual bf16x3 emulation (see _dot_bf16x3)

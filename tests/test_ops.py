@@ -497,6 +497,46 @@ def test_rle_viterbi_tie_break_matches_reference():
     assert np.asarray(backptr)[0, 0, nbase + 1] == 1, "RLE stay tie must keep the move"
 
 
+def test_ff_dot_high3_matches_f32_within_band():
+    """The in-kernel block-affine 'high3' tier (manual 3-pass bf16
+    emulation of Precision.HIGH, used on TPU where Mosaic cannot lower
+    HIGH natively) reproduces the true-f32 product to the ~2^-21
+    relative band on realistic magnitudes."""
+    from jax import lax
+
+    from flappie_tpu.ops.rnn_pallas import _ff_dot
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1.5, size=(96, 64)).astype(np.float32)
+    w = rng.normal(0, 0.5, size=(64, 128)).astype(np.float32)
+    exact = np.asarray(
+        _ff_dot(jnp.asarray(x), jnp.asarray(w), lax.Precision.HIGHEST)
+    )
+    h3 = np.asarray(_ff_dot(jnp.asarray(x), jnp.asarray(w), "high3"))
+    # error relative to the product scale (cancellation points make
+    # element-wise relative error meaningless); the dropped lo*lo term
+    # bounds it around 2^-17 over the K=64 accumulation
+    rel = np.abs(h3 - exact).max() / np.abs(exact).max()
+    assert rel < 2e-5
+
+
+def test_fused_affine_keeps_true_f32_off_tpu():
+    """Off-TPU the fused kernels must clamp the HIGH FF policy to
+    HIGHEST (true f32), never the manual bf16 split -- the CPU parity
+    suite depends on bit-exact affines (see _run_fused)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("TPU backend: high3 is the intended lowering")
+    # the gate in _run_fused: HIGH -> high3 only when backend is tpu
+    import inspect
+
+    from flappie_tpu.ops import rnn_pallas
+
+    src = inspect.getsource(rnn_pallas._run_fused)
+    assert 'jax.default_backend() == "tpu"' in src
+
+
 def test_rnn_precision_default_is_backend_dependent(monkeypatch):
     """The recurrent-matmul tier defaults to true f32 off-TPU (the
     manual bf16x3 emulation would really execute on CPU and perturb
