@@ -199,14 +199,21 @@ def main() -> int:
         np.concatenate(chunk_i16[ofs : ofs + G], axis=0)
         for ofs in range(0, len(chunk_i16) - G + 1, G)
     ]
-    # d8 wire (delta-int8 + exceptions, ~0.55x the i16 bytes; see
-    # basecall.encode_d8).  encode_d8 returns None on rows beyond the
-    # exception budget -- the real fixture ADC fits, but guard anyway.
+    # d8 wire (delta-int8 + width-scaled exceptions, ~0.55x the i16
+    # bytes; see basecall.encode_d8).  encode_d8 returns None on rows
+    # beyond the exception budget -- the real fixture ADC fits at both
+    # widths, but gate each path family separately and say so if one
+    # drops (a silently skipped path reads as a measured one).
     from flappie_tpu.basecall import encode_d8
 
     chunk_d8 = [encode_d8(b) for b in chunk_i16]
     full_d8 = [encode_d8(b) for b in packed_full_i16]
-    d8_ok = all(b is not None for b in chunk_d8 + full_d8)
+    chunk_d8_ok = all(b is not None for b in chunk_d8)
+    full_d8_ok = all(b is not None for b in full_d8)
+    for fam, ok in (("chunked_d8", chunk_d8_ok), ("fullread_d8", full_d8_ok)):
+        if not ok:
+            print(f"# {fam}: exception budget exceeded, path skipped",
+                  file=sys.stderr)
     paths = {
         "chunked_i16": (caller.dispatch_packed_chunk_i16, chunk_i16,
                         samples_i16),
@@ -226,17 +233,18 @@ def main() -> int:
         "fullread_f32": (caller.dispatch_packed_batch, packed_full,
                          samples_full),
     }
-    if d8_ok:
+    if chunk_d8_ok:
         grouped_d8 = [
             np.concatenate(chunk_d8[ofs : ofs + G], axis=0)
             for ofs in range(0, len(chunk_d8) - G + 1, G)
         ]
+        paths[f"chunked_d8_g{G}"] = (
+            lambda b: caller.dispatch_packed_chunk_d8_grouped(b, G),
+            grouped_d8,
+            samples_i16 * len(grouped_d8) * G // max(len(chunk_d8), 1),
+        )
+    if full_d8_ok:
         paths.update({
-            f"chunked_d8_g{G}": (
-                lambda b: caller.dispatch_packed_chunk_d8_grouped(b, G),
-                grouped_d8,
-                samples_i16 * len(grouped_d8) * G // max(len(chunk_d8), 1),
-            ),
             "fullread_d8": (caller.dispatch_packed_batch_d8, full_d8,
                             samples_full_i16),
             "fullread_d8_g3": (

@@ -134,7 +134,7 @@ def _upload_mode() -> str:
     when the reads carry ADC), f32 (always upload the host-normalised
     signal), i16 (the plain int16-ADC wire), d8 (delta-int8 wire,
     ~0.55x the i16 bytes; per-batch fallback to i16 when a row's deltas
-    need more than D8_EXC exception slots).  Outputs are identical in
+    need more than d8_exc_slots(W) exception slots).  Outputs are identical in
     every mode (d8 reconstructs the i16 buffer bit-exactly on device,
     docs/PROBE_affine_d8_r3.json)."""
     import os
@@ -351,28 +351,48 @@ def _unpack_i16(buf):
     return sig, lengths, qlo, qhi
 
 
-# -- d8 upload: int8 deltas + fixed-capacity exceptions ---------------------
+# -- d8 upload: int8 deltas + width-scaled exception capacity ----------------
 #
 # The tunnel charges ~31.5 ms per dispatch plus ~70 MB/s for the payload
 # (docs/PROBE_dispatch_r3.json), so upload bytes are end-to-end time.
 # Real nanopore ADC steps are small (fixture: |delta| p99 = 97) but not
 # bounded (0.46% exceed int8), so the wire format is: int8 deltas with
-# the overflow clipped, plus up to D8_EXC per-row (index, correction)
-# pairs that restore the clipped part exactly.  The device inverts this
-# to the *bit-exact* int16 buffer of the i16 path and runs the identical
+# the overflow clipped, plus per-row (index, correction) pairs that
+# restore the clipped part exactly.  The device inverts this to the
+# *bit-exact* int16 buffer of the i16 path and runs the identical
 # program -- d8 vs i16 outputs are equal by construction, on any
-# backend.  Rows whose exceptions exceed D8_EXC (or whose corrections
-# exceed int16) make encode_d8 return None and the batch falls back to
-# i16.  Payload: W + 6*D8_EXC + 32 bytes vs 2*W + 32 (0.55x at the
-# production chunk).
+# backend.  The exception capacity scales with the payload width
+# (ceil(W/64) slots = 1.56% of steps, ~3.4x the fixture's rate), so
+# full-read buckets encode as well as chunks; rows beyond it (or whose
+# corrections exceed int16) make encode_d8 return None and the batch
+# falls back to i16 -- that attempt costs one O(B*W) numpy pass, the
+# price of trying on hostile signal.  Payload: W + 6*ceil(W/64) + 32
+# bytes vs 2*W + 32 (~0.55x at any width).
 
-D8_EXC = 256
+
+def d8_exc_slots(W: int) -> int:
+    """Exception capacity for payload width W (see module comment)."""
+    return (W + 63) // 64
 
 
-def encode_d8(buf_i16: np.ndarray, exc: int = D8_EXC):
+def _d8_widths(Wtot: int):
+    """Invert Wtot = W + 6*d8_exc_slots(W) + 32 (strictly increasing in
+    W, so unique where defined).  Static shapes: runs at trace time."""
+    # estimate assumes slots = W/64 exactly; ceil makes the true W up
+    # to ~7 smaller, so start below and walk up
+    W = max(1, (Wtot - 32) * 32 // 35 - 8)
+    while W + 6 * d8_exc_slots(W) + 32 < Wtot:
+        W += 1
+    if W + 6 * d8_exc_slots(W) + 32 != Wtot:
+        raise ValueError(f"not a d8 wire width: {Wtot}")
+    return W, d8_exc_slots(W)
+
+
+def encode_d8(buf_i16: np.ndarray):
     """[B, W+16] int16 buffer (pack_chunk_inputs_i16 layout) -> one
-    [B, W + 6*exc + 32] int8 wire buffer, or None if any row needs more
-    than ``exc`` exception slots (caller falls back to the i16 wire).
+    [B, W + 6*exc + 32] int8 wire buffer (exc = d8_exc_slots(W)), or
+    None if any row needs more exception slots (caller falls back to
+    the i16 wire).
 
     Layout per row: W int8 clipped deltas | exc int32 LE exception
     indices | exc int16 LE corrections | the 16 tail int16 as raw bytes.
@@ -380,6 +400,7 @@ def encode_d8(buf_i16: np.ndarray, exc: int = D8_EXC):
     buf_i16 = np.asarray(buf_i16, np.int16)
     B, Wt = buf_i16.shape
     W = Wt - 16
+    exc = d8_exc_slots(W)
     adc = buf_i16[:, :W].astype(np.int32)
     d = np.diff(adc, axis=1, prepend=0)
     stored = np.clip(d, -128, 127)
@@ -407,11 +428,11 @@ def encode_d8(buf_i16: np.ndarray, exc: int = D8_EXC):
     )
 
 
-def _decode_d8(buf, exc: int = D8_EXC):
+def _decode_d8(buf):
     """Device inverse of encode_d8: reconstructs the exact [B, W+16]
     int16 buffer (integer ops only -- bit-exact on every backend)."""
     B, Wtot = buf.shape
-    W = Wtot - 6 * exc - 32
+    W, exc = _d8_widths(Wtot)
     d = buf[:, :W].astype(jnp.int32)
     idx = jax.lax.bitcast_convert_type(
         buf[:, W : W + 4 * exc].reshape(B, exc, 4), jnp.int32

@@ -187,14 +187,19 @@ def _ff_dot(x, w, ffprec):
     outside kernels, so the in-kernel affine matches the out-of-kernel
     FF policy instead of over-spending 6 HIGHEST passes."""
     if ffprec == "high3":
-        x_hi, x_lo = _split_bf16(x)
-        w_hi, w_lo = _split_bf16(w)
-        d = lambda a, b: jnp.dot(
-            a, b, precision=lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-        return d(x_hi, w_hi) + d(x_hi, w_lo) + d(x_lo, w_hi)
+        return _dot_bf16x3(x, *_split_bf16(w))
     return jnp.dot(x, w, precision=ffprec, preferred_element_type=jnp.float32)
+
+
+def _resolve_ffprec(ffprec, backend: str):
+    """Mosaic rejects Precision.HIGH inside kernels.  On TPU lower it
+    as the manual 3-pass bf16 emulation (same algorithm XLA's HIGH uses
+    outside kernels); elsewhere clamp to HIGHEST so the CPU parity
+    suite keeps true-f32 affines (the manual split would execute for
+    real there)."""
+    if ffprec == lax.Precision.HIGH:
+        return "high3" if backend == "tpu" else lax.Precision.HIGHEST
+    return ffprec
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +310,8 @@ def _stream_dtype():
     return os.environ.get("FLAPPIE_TPU_RNN_STREAM", "f32").lower()
 
 
-def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int) -> int:
+def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int,
+                      h3_affine: bool = False) -> int:
     """Largest power-of-two K whose VMEM working set fits: 2 x-blocks
     [K, B, IN], 2 out-blocks [K, B, H], the block affine [K, B, GH].
     FLAPPIE_TPU_RNN_K overrides (measurement knob)."""
@@ -320,6 +326,16 @@ def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int) -> int:
     K = 32
     while K > 1 and K * per_k > VMEM_BUDGET:
         K //= 2
+    if h3_affine:
+        # the high3 affine materialises bf16 hi/lo splits of the x
+        # block plus one extra live f32 [K*B, GH] partial on top of the
+        # accumulator (live-set model pinned by the measured production
+        # config: B=128/IN=256/GH=1024 compiles and runs at K=8).
+        # Check against the 16M scoped limit with that extra term and
+        # shrink K if the total would not fit.
+        extra_k = B * (2 * 2 * IN + 4 * GH)
+        while K > 1 and K * (per_k + extra_k) > 15 * 1024 * 1024:
+            K //= 2
     return K
 
 
@@ -333,19 +349,9 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
     zeroes outputs at padded steps, so no host-side reversal gathers or
     tail masking are needed around the kernel.
     """
-    from .precision import ff_precision
+    from .precision import ff_precision, rnn_precision
 
-    # Mosaic rejects Precision.HIGH inside kernels.  On TPU lower it as
-    # the manual 3-pass bf16 emulation (same algorithm XLA's HIGH uses
-    # outside kernels); elsewhere clamp to HIGHEST so the CPU parity
-    # suite keeps true-f32 affines (the manual split would execute for
-    # real there).
-    from .precision import rnn_precision
-
-    ffprec = ff_precision()
-    if ffprec == lax.Precision.HIGH:
-        ffprec = ("high3" if jax.default_backend() == "tpu"
-                  else lax.Precision.HIGHEST)
+    ffprec = _resolve_ffprec(ff_precision(), jax.default_backend())
     rnnprec = rnn_precision()
     if rnnprec == lax.Precision.HIGH:
         rnnprec = "high3"  # manual bf16x3 emulation (see _dot_bf16x3)
@@ -365,7 +371,7 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
     else:
         xa_dtype = jnp.float32
         xbytes = 4
-    K = _fused_time_block(B, IN, GH, H, xbytes)
+    K = _fused_time_block(B, IN, GH, H, xbytes, h3_affine=(ffprec == "high3"))
     Tpad = -(-T // K) * K
     if Tpad != T:
         x_tm = jnp.pad(x_tm, ((0, Tpad - T), (0, 0), (0, 0)))

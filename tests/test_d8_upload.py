@@ -1,11 +1,12 @@
 """The delta-int8 ("d8") upload wire format.
 
-encode_d8 turns the i16 packed buffer into int8 deltas plus a fixed
-capacity of (index, correction) exception pairs; _decode_d8 on device
+encode_d8 turns the i16 packed buffer into int8 deltas plus a
+width-scaled capacity of (index, correction) exception pairs;
+_decode_d8 on device
 reconstructs the *bit-exact* int16 buffer and runs the unchanged i16
 program, so d8 outputs are equal to i16 outputs by construction on any
-backend.  Rows needing more than D8_EXC exceptions make encode_d8
-return None and the batch falls back to the i16 wire.
+backend.  Rows needing more than d8_exc_slots(W) exceptions make
+encode_d8 return None and the batch falls back to the i16 wire.
 """
 
 import numpy as np
@@ -13,8 +14,8 @@ import pytest
 
 from flappie_tpu.basecall import (
     Basecaller,
-    D8_EXC,
     _decode_d8,
+    d8_exc_slots,
     encode_d8,
 )
 from flappie_tpu.io.crp import read_crp
@@ -74,14 +75,45 @@ def test_encode_decode_roundtrip_real_signal(adc):
     buf16 = _pack(rows, lengths)
     b8 = encode_d8(buf16)
     assert b8 is not None and b8.dtype == np.int8
-    assert b8.shape == (B, T + 6 * D8_EXC + 32)
-    # the wire really is smaller (fixed 6*D8_EXC+32 B/row overhead =>
-    # 0.69x at this T; 0.55x at the production chunk of 12800)
-    assert b8.nbytes < 0.7 * buf16.nbytes
-    W = 12800
-    assert (W + 6 * D8_EXC + 32) / (2 * (W + 16)) < 0.57
+    assert b8.shape == (B, T + 6 * d8_exc_slots(T) + 32)
+    # the wire really is smaller; the width-scaled exception budget
+    # keeps the ratio ~0.55x at any width
+    assert b8.nbytes < 0.6 * buf16.nbytes
+    for W in (2048, 12800, 65536):
+        assert (W + 6 * d8_exc_slots(W) + 32) / (2 * (W + 16)) < 0.57
     out = np.asarray(jax.jit(_decode_d8)(b8))
     assert out.dtype == np.int16
+    assert np.array_equal(out, buf16)
+
+
+def test_d8_width_inversion():
+    """_d8_widths uniquely inverts the wire width for every payload
+    width (chunk multiples of stride, power-of-two buckets, odd
+    sizes)."""
+    from flappie_tpu.basecall import _d8_widths
+
+    for W in (1, 5, 63, 64, 2048, 5120, 10000, 12800, 65536, 131072):
+        exc = d8_exc_slots(W)
+        assert _d8_widths(W + 6 * exc + 32) == (W, exc)
+    with pytest.raises(ValueError):
+        _d8_widths(12800 + 6 * d8_exc_slots(12800) + 33)
+
+
+def test_encode_decode_roundtrip_fullread_width(adc):
+    """The width-scaled exception budget covers full-read buckets: the
+    64k tiled fixture (~290 exceptions per row, over the old fixed-256
+    cap) encodes and round-trips bit-exactly."""
+    import jax
+
+    B, T = 2, 65536
+    rows = np.stack([np.tile(adc, int(np.ceil(T / adc.size)))[:T]
+                     for _ in range(B)])
+    lengths = np.array([T, T - 123], np.int32)
+    rows[1, T - 123 :] = 0
+    buf16 = _pack(rows, lengths)
+    b8 = encode_d8(buf16)
+    assert b8 is not None
+    out = np.asarray(jax.jit(_decode_d8)(b8))
     assert np.array_equal(out, buf16)
 
 
@@ -91,7 +123,7 @@ def test_encode_decode_roundtrip_hostile_values():
     import jax
 
     rng = np.random.default_rng(3)
-    B, T = 4, 1024
+    B, T = 4, 4096  # capacity ceil(T/64) = 64 slots; ~40 used per row
     rows = rng.integers(-50, 50, size=(B, T)).astype(np.int16)
     for j in range(B):
         pos = rng.choice(np.arange(1, T), size=20, replace=False)
@@ -106,8 +138,8 @@ def test_encode_decode_roundtrip_hostile_values():
 
 def test_encode_overflow_returns_none():
     """A row alternating +-200 needs an exception at every step --
-    beyond D8_EXC capacity -> fallback signal (None)."""
-    T = 4 * D8_EXC
+    beyond the ceil(T/64) capacity -> fallback signal (None)."""
+    T = 1024
     row = np.zeros((1, T), np.int16)
     row[0, ::2] = 200
     buf16 = _pack(row, np.array([T], np.int32))

@@ -520,21 +520,21 @@ def test_ff_dot_high3_matches_f32_within_band():
     assert rel < 2e-5
 
 
-def test_fused_affine_keeps_true_f32_off_tpu():
-    """Off-TPU the fused kernels must clamp the HIGH FF policy to
-    HIGHEST (true f32), never the manual bf16 split -- the CPU parity
-    suite depends on bit-exact affines (see _run_fused)."""
-    import jax
+def test_fused_affine_ffprec_resolution():
+    """The in-kernel FF tier: HIGH lowers to the manual bf16x3 ONLY on
+    TPU; everywhere else it clamps to HIGHEST (true f32) so the CPU
+    parity suite keeps bit-exact affines.  Explicit tiers pass through
+    unchanged."""
+    from jax import lax
 
-    if jax.default_backend() == "tpu":
-        pytest.skip("TPU backend: high3 is the intended lowering")
-    # the gate in _run_fused: HIGH -> high3 only when backend is tpu
-    import inspect
+    from flappie_tpu.ops.rnn_pallas import _resolve_ffprec
 
-    from flappie_tpu.ops import rnn_pallas
-
-    src = inspect.getsource(rnn_pallas._run_fused)
-    assert 'jax.default_backend() == "tpu"' in src
+    assert _resolve_ffprec(lax.Precision.HIGH, "tpu") == "high3"
+    assert _resolve_ffprec(lax.Precision.HIGH, "cpu") == lax.Precision.HIGHEST
+    assert _resolve_ffprec(lax.Precision.HIGH, "gpu") == lax.Precision.HIGHEST
+    for p in (lax.Precision.HIGHEST, lax.Precision.DEFAULT):
+        assert _resolve_ffprec(p, "tpu") == p
+        assert _resolve_ffprec(p, "cpu") == p
 
 
 def test_rnn_precision_default_is_backend_dependent(monkeypatch):
