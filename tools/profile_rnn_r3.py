@@ -69,9 +69,11 @@ def main() -> int:
         def prog(x, n):
             # chained carry: iteration i+1 consumes iteration i's output,
             # so the while loop cannot be collapsed; LSTM outputs are
-            # bounded so repeated application stays finite
+            # bounded so repeated application stays finite.  bf16-stream
+            # layers output bf16: cast back so the carry type is stable
+            # (the cast is ~0.3 ms vs ~5 ms/layer, same for every tier).
             def body(i, xc):
-                return layer_fn(xc)
+                return layer_fn(xc).astype(x.dtype)
 
             return jnp.sum(lax.fori_loop(0, n, body, x))
 
@@ -155,8 +157,11 @@ def main() -> int:
 
     # -- ablations (kernel copies with pieces removed) -----------------
     def make_ablation(kind):
-        def kernel(ffprec, rnnprec, x_ref, iw_ref, b_ref, sw_ref, out_ref,
-                   h_ref, c_ref, xa_ref):
+        def kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref,
+                   len_ref, out_ref, h_ref, c_ref, xa_ref):
+            # ablation ignores backward/len_ref (forward, all-valid);
+            # signature tracks _run_fused post direction/masking
+            del backward, len_ref
             from jax.experimental import pallas as pl
 
             t = pl.program_id(0)
@@ -169,9 +174,9 @@ def main() -> int:
             Hh = h_ref.shape[-1]
             K, Bb, IN = x_ref.shape
             sw = sw_ref[:]
+            rdot = rp._make_rdot(rnnprec, sw)
             xa_ref[:] = (
-                jnp.dot(x_ref[:].reshape(K * Bb, IN), iw_ref[:],
-                        precision=ffprec, preferred_element_type=jnp.float32)
+                rp._ff_dot(x_ref[:].reshape(K * Bb, IN), iw_ref[:], ffprec)
                 + b_ref[:]
             ).reshape(K, Bb, 4 * Hh).astype(xa_ref.dtype)
 
@@ -189,9 +194,7 @@ def main() -> int:
                     xF = xa_ref[k].astype(jnp.float32) + jnp.concatenate(
                         [h, h, h, h], axis=-1)
                 else:
-                    xF = xa_ref[k].astype(jnp.float32) + jnp.dot(
-                        h, sw, precision=rnnprec,
-                        preferred_element_type=jnp.float32)
+                    xF = xa_ref[k].astype(jnp.float32) + rdot(h)
                 if kind == "nogates":
                     c = c * 0.5 + xF[:, :Hh] * 0.01
                     h = jnp.clip(xF[:, Hh:2*Hh] * 0.01 + c, -1.0, 1.0)
