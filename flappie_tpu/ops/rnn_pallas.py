@@ -296,6 +296,113 @@ def _grumod_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref
     h_ref[:] = lax.fori_loop(0, K, step, h_ref[:], unroll=True)
 
 
+def _lstm_fused_dual_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref,
+                            sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref):
+    """Two interleaved half-batch LSTM chains per step.
+
+    The single-chain step strictly alternates MXU (step matmul) and VPU
+    (gate transcendentals) on one dependence chain; splitting the batch
+    into two independent 64-row chains and issuing both step matmuls
+    before either chain's gates gives the Mosaic scheduler cross-chain
+    slack.  Measured +9% row-throughput over the single chain at
+    B=128/H=256 on a contended chip (docs/PROBE_dual_r3.json), bit-exact
+    by construction (identical per-row math, same op order per chain).
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    H = h_ref.shape[-1]
+    B2 = h_ref.shape[1]
+    K, B, IN = x_ref.shape
+    g = (pl.num_programs(0) - 1 - t) if backward else t
+    lens = len_ref[:]  # [B, 1]
+    sw = sw_ref[:]
+    rdot = _make_rdot(rnnprec, sw)
+    xa_ref[:] = (
+        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
+    ).reshape(K, B, 4 * H).astype(xa_ref.dtype)
+
+    def gates(xF, c):
+        u = jax.nn.sigmoid(xF[:, :H])
+        f = jax.nn.sigmoid(xF[:, H : 2 * H])
+        gg = jnp.tanh(xF[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(xF[:, 3 * H :])
+        c2 = f * c + u * gg
+        return o * jnp.tanh(c2), c2
+
+    def step(k, carry):
+        hA, cA, hB, cB = carry
+        kk = (K - 1 - k) if backward else k
+        valid = (g * K + kk) < lens  # [B, 1]
+        vA, vB = valid[:B2], valid[B2:]
+        # both step matmuls issue before either chain's gate math
+        mA = rdot(hA)
+        mB = rdot(hB)
+        h2A, c2A = gates(xa_ref[kk, :B2].astype(jnp.float32) + mA, cA)
+        h2B, c2B = gates(xa_ref[kk, B2:].astype(jnp.float32) + mB, cB)
+        out_ref[kk, :B2] = jnp.where(vA, h2A, 0.0).astype(out_ref.dtype)
+        out_ref[kk, B2:] = jnp.where(vB, h2B, 0.0).astype(out_ref.dtype)
+        return (
+            jnp.where(vA, h2A, hA),
+            jnp.where(vA, c2A, cA),
+            jnp.where(vB, h2B, hB),
+            jnp.where(vB, c2B, cB),
+        )
+
+    hA, cA, hB, cB = lax.fori_loop(
+        0, K, step, (h_ref[0], c_ref[0], h_ref[1], c_ref[1]), unroll=True
+    )
+    h_ref[0], c_ref[0] = hA, cA
+    h_ref[1], c_ref[1] = hB, cB
+
+
+def _grumod_fused_dual_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref,
+                              sw_ref, len_ref, out_ref, h_ref, xa_ref):
+    """GRU-mod counterpart of _lstm_fused_dual_kernel."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    H = h_ref.shape[-1]
+    B2 = h_ref.shape[1]
+    K, B, IN = x_ref.shape
+    g = (pl.num_programs(0) - 1 - t) if backward else t
+    lens = len_ref[:]
+    sw = sw_ref[:]
+    rdot = _make_rdot(rnnprec, sw)
+    xa_ref[:] = (
+        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
+    ).reshape(K, B, 3 * H).astype(xa_ref.dtype)
+
+    def gates(x, v, h):
+        z = jax.nn.sigmoid(x[:, :H] + v[:, :H])
+        r = jax.nn.sigmoid(x[:, H : 2 * H] + v[:, H : 2 * H])
+        hbar = jnp.tanh(r * v[:, 2 * H :] + x[:, 2 * H :])
+        return z * h + (1 - z) * hbar
+
+    def step(k, carry):
+        hA, hB = carry
+        kk = (K - 1 - k) if backward else k
+        valid = (g * K + kk) < lens
+        vA, vB = valid[:B2], valid[B2:]
+        mA = rdot(hA)
+        mB = rdot(hB)
+        h2A = gates(xa_ref[kk, :B2].astype(jnp.float32), mA, hA)
+        h2B = gates(xa_ref[kk, B2:].astype(jnp.float32), mB, hB)
+        out_ref[kk, :B2] = jnp.where(vA, h2A, 0.0).astype(out_ref.dtype)
+        out_ref[kk, B2:] = jnp.where(vB, h2B, 0.0).astype(out_ref.dtype)
+        return jnp.where(vA, h2A, hA), jnp.where(vB, h2B, hB)
+
+    hA, hB = lax.fori_loop(0, K, step, (h_ref[0], h_ref[1]), unroll=True)
+    h_ref[0], h_ref[1] = hA, hB
+
+
 def _stream_dtype():
     """FLAPPIE_TPU_RNN_STREAM: dtype the fused kernels stream layer
     inputs at.  ``f32`` (default, reference-exact input path) or
@@ -339,8 +446,25 @@ def _fused_time_block(B: int, IN: int, GH: int, H: int, xbytes: int,
     return K
 
 
+def _dual_enabled(B: int) -> bool:
+    """FLAPPIE_TPU_RNN_DUAL: run the fused layer as two interleaved
+    half-batch chains (``on``/``off``/``auto``).  Bit-exact vs the
+    single chain; +9% row throughput measured at B=128/H=256
+    (docs/PROBE_dual_r3.json).  ``auto`` enables it on TPU for even
+    batches of at least 128 rows (below that the half-chains' matmuls
+    waste too many MXU rows to amortise the extra instruction issue)."""
+    import os
+
+    mode = os.environ.get("FLAPPIE_TPU_RNN_DUAL", "auto").lower()
+    if mode == "off" or B % 2:
+        return False
+    if mode == "on":
+        return True
+    return jax.default_backend() == "tpu" and B >= 128
+
+
 def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
-               backward: bool = False, lengths=None):
+               backward: bool = False, lengths=None, dual_kernel=None):
     """x_tm: [T, B, IN] (time-major) -> [T, B, H].
 
     ``backward`` runs the recurrence from each read's end (grid and
@@ -382,7 +506,11 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
 
     N = Tpad // K
     tmap = (lambda t: (N - 1 - t, 0, 0)) if backward else (lambda t: (t, 0, 0))
-    scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
+    if dual_kernel is not None and _dual_enabled(B):
+        kernel = dual_kernel
+        scratch = [pltpu.VMEM((2, B // 2, H), jnp.float32) for _ in range(carries)]
+    else:
+        scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
     scratch.append(pltpu.VMEM((K, B, GH), xa_dtype))  # block affine
     out = pl.pallas_call(
         functools.partial(kernel, ffprec, rnnprec, backward),
@@ -414,10 +542,10 @@ def lstm_layer_tm(x_tm, iW, b, sW, interpret=None, backward=False, lengths=None)
     and the step matmul accumulate in f32 regardless.
     """
     return _run_fused(_lstm_fused_kernel, x_tm, iW, b, sW, 4, 2, interpret,
-                      backward, lengths)
+                      backward, lengths, dual_kernel=_lstm_fused_dual_kernel)
 
 
 def grumod_layer_tm(x_tm, iW, b, sW, interpret=None, backward=False, lengths=None):
     """Fused input-affine + GRU-mod recurrence, time-major in/out."""
     return _run_fused(_grumod_fused_kernel, x_tm, iW, b, sW, 3, 1, interpret,
-                      backward, lengths)
+                      backward, lengths, dual_kernel=_grumod_fused_dual_kernel)

@@ -367,6 +367,42 @@ def test_pallas_fused_layer_directional_lengths(kind, backward):
 
 
 @pytest.mark.parametrize("kind", ["lstm", "grumod"])
+@pytest.mark.parametrize("backward", [False, True])
+def test_pallas_fused_dual_chain_bitexact(kind, backward, monkeypatch):
+    """FLAPPIE_TPU_RNN_DUAL=on (two interleaved half-batch chains,
+    docs/PROBE_dual_r3.json) is bit-exact vs the single-chain fused
+    kernel: identical per-row math and op order, only the issue
+    interleaving differs."""
+    from flappie_tpu.ops import rnn_pallas
+
+    B, T, IN, H = 4, 37, 8, 16
+    gates = 4 if kind == "lstm" else 3
+    lengths = jnp.asarray(np.array([37, 29, 5, 33], np.int32))
+    x = rnd(B, T, IN)
+    x = np.where(
+        np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None], x, 0.0
+    )
+    iW = rnd(IN, gates * H, scale=0.3)
+    bias = rnd(gates * H, scale=0.2)
+    sW = rnd(H, gates * H, scale=0.3)
+    fused = {
+        "lstm": rnn_pallas.lstm_layer_tm,
+        "grumod": rnn_pallas.grumod_layer_tm,
+    }[kind]
+    args = (
+        jnp.swapaxes(jnp.asarray(x), 0, 1), jnp.asarray(iW),
+        jnp.asarray(bias), jnp.asarray(sW),
+    )
+    monkeypatch.setenv("FLAPPIE_TPU_RNN_DUAL", "off")
+    want = np.asarray(fused(*args, interpret=True, backward=backward,
+                            lengths=lengths))
+    monkeypatch.setenv("FLAPPIE_TPU_RNN_DUAL", "on")
+    got = np.asarray(fused(*args, interpret=True, backward=backward,
+                           lengths=lengths))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("kind", ["lstm", "grumod"])
 def test_pallas_fused_layer_bf16_stream(kind, monkeypatch):
     """FLAPPIE_TPU_RNN_STREAM=bf16 (the TPU speed mode): output is bf16
     and tracks the f32 reference within the bf16 rounding envelope.
