@@ -53,6 +53,20 @@ def _use_kernels() -> bool:
     return v in ("1", "on", "true")
 
 
+def _use_fused_fb() -> bool:
+    """FLAPPIE_TPU_SCANB_FB=fused runs the posterior's alpha and beta
+    scans as ONE kernel with the two independent chains interleaved
+    (crf_bm_pallas.fwdbwd_states_pallas — bit-identical per-chain
+    math).  MEASURED SLOWER on chip and kept opt-in: the dense blocks
+    must stream twice (forward- and reverse-mapped), and the doubled
+    DMA outweighs the halved serial pass count — fb decode chain 3.19
+    vs 2.82 ms at [128, 2560], chunk program a wash
+    (docs/PROBE_fb_r3.json).  Default: split kernels."""
+    import os
+
+    return os.environ.get("FLAPPIE_TPU_SCANB_FB", "split") == "fused"
+
+
 def _dense_tm(trans_tm, idx: TransIndex):
     """[T, P, B] -> [T, S, S, B] (from, to); forbidden = NEG_BIG."""
     T, P, B = trans_tm.shape
@@ -107,8 +121,13 @@ def _transpost_tm(trans_tm, tvalid_tm, idx: TransIndex):
     """Per-block transition posteriors [T, P, B], log-normalised per
     block (log_row_normalise, src/flappie_matrix.c:450-467)."""
     dense = _dense_tm(trans_tm, idx)
-    alphas = _fwd_states_tm(dense, tvalid_tm)
-    betas = _bwd_states_tm(dense, tvalid_tm)
+    if _use_kernels() and _use_fused_fb():
+        from .crf_bm_pallas import fwdbwd_states_pallas
+
+        alphas, betas = fwdbwd_states_pallas(dense, tvalid_tm)
+    else:
+        alphas = _fwd_states_tm(dense, tvalid_tm)
+        betas = _bwd_states_tm(dense, tvalid_tm)
     fr = jnp.asarray(idx.from_state)
     to = jnp.asarray(idx.to_state)
     tpost = (

@@ -92,6 +92,46 @@ def _sum_kernel(backward, x_ref, v_ref, out_ref, a_ref):
     a_ref[:] = lax.fori_loop(0, K, step, a_ref[:], unroll=True)
 
 
+def _fwdbwd_kernel(xf_ref, vf_ref, xb_ref, vb_ref, aout_ref, bout_ref,
+                   a_ref, b_ref):
+    """Alpha (forward) and beta (backward) chains interleaved in one
+    kernel.  The chains are independent (they meet only in the
+    posterior, computed outside), so interleaving halves the serial
+    pass count over T; per-chain op order is identical to _sum_kernel,
+    hence bit-identical outputs.  The dense blocks stream twice (one
+    forward-mapped, one reverse-mapped input spec over the same
+    array)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    K = xf_ref.shape[0]
+
+    def step(k, carry):
+        a, bv = carry
+        kk = K - 1 - k
+        # forward chain: block k of the forward stream
+        mf = xf_ref[k]
+        nf = _lse_over(a[:, None, :] + mf, axis=0)
+        vf = vf_ref[k][None, :].astype(jnp.float32)
+        a = vf * nf + (1.0 - vf) * a
+        # backward chain: block kk of the reverse stream
+        mb = xb_ref[kk]
+        nb = _lse_over(mb + bv[None, :, :], axis=1)
+        vb = vb_ref[kk][None, :].astype(jnp.float32)
+        bv = vb * nb + (1.0 - vb) * bv
+        aout_ref[k] = a
+        bout_ref[kk] = bv
+        return a, bv
+
+    a, bv = lax.fori_loop(0, K, step, (a_ref[:], b_ref[:]), unroll=True)
+    a_ref[:] = a
+    b_ref[:] = bv
+
+
 def _viterbi_kernel(S, x_ref, v_ref, rank_ref, alpha_out, bp_out, a_ref):
     t = pl.program_id(0)
 
@@ -206,6 +246,55 @@ def bwd_states_pallas(dense_tm, tvalid_tm, interpret=None):
     # until the first valid block from the end)
     b_end = jnp.zeros((1, S, B), dense_tm.dtype)
     return jnp.concatenate([out[:T], b_end], axis=0)
+
+
+def fwdbwd_states_pallas(dense_tm, tvalid_tm, interpret=None):
+    """One fused pallas_call computing BOTH scans of the posterior:
+    (alphas [T+1, S, B], betas [T+1, S, B]).  Bit-identical to
+    fwd_states_pallas + bwd_states_pallas (same per-chain op order).
+    Opt-in (FLAPPIE_TPU_SCANB_FB=fused) — measured SLOWER than the
+    split kernels on chip (3.19 vs 2.82 ms fb chain at [128, 2560],
+    docs/PROBE_fb_r3.json): the dense blocks stream twice, and the
+    doubled DMA costs more than the halved serial pass count saves."""
+    if interpret is None:
+        interpret = _use_interpret()
+    T0, S, _, B = dense_tm.shape
+    # two double-buffered dense streams + two outs + two valid streams
+    K = _time_block(2 * 2 * 4 * S * B * (S + 1))
+    valid = tvalid_tm.astype(jnp.int32)
+    (dense, valid), T, Tp = _pad_time([dense_tm, valid], K)
+    N = Tp // K
+    fmap4 = lambda t: (t, 0, 0, 0)
+    rmap4 = lambda t: (N - 1 - t, 0, 0, 0)
+    alphas, betas = pl.pallas_call(
+        _fwdbwd_kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((K, S, S, B), fmap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, S, S, B), rmap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B), lambda t: (N - 1 - t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, S, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, S, B), lambda t: (N - 1 - t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, S, B), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, S, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, B), jnp.float32),
+            pltpu.VMEM((S, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dense, valid, dense, valid)
+    a0 = jnp.zeros((1, S, B), dense_tm.dtype)
+    b_end = jnp.zeros((1, S, B), dense_tm.dtype)
+    return (
+        jnp.concatenate([a0, alphas[:T]], axis=0),
+        jnp.concatenate([betas[:T], b_end], axis=0),
+    )
 
 
 def viterbi_fwd_pallas(dense_tm, tvalid_tm, tie_rank, interpret=None):

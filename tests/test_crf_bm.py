@@ -162,3 +162,44 @@ def test_bm_pallas_kernels_match_scans(monkeypatch, nbase, T):
     np.testing.assert_array_equal(p_a, p_b)
     np.testing.assert_allclose(score_a, score_b, rtol=0, atol=1e-4)
     assert np.abs(tr_a.astype(int) - tr_b.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("nbase,T", [(4, 75), (5, 40)])
+def test_bm_fused_fwdbwd_kernel_bitexact_vs_split(monkeypatch, nbase, T):
+    """fwdbwd_states_pallas (alpha and beta chains interleaved in ONE
+    kernel) is bit-identical to the separate fwd/bwd kernels: per-chain
+    op order is unchanged, only the issue interleaving differs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flappie_tpu.ops import crf_bm
+    from flappie_tpu.ops.crf import flipflop_index
+    from flappie_tpu.ops.crf_bm_pallas import (
+        bwd_states_pallas,
+        fwd_states_pallas,
+        fwdbwd_states_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    B = 8
+    idx = flipflop_index(nbase)
+    trans = rng.normal(0, 2, size=(B, T, idx.nparam)).astype(np.float32)
+    nblocks = np.minimum(np.array([T, 60, 1, T, 33, T, 2, 17], np.int32), T)
+
+    trans_tm = jnp.asarray(trans).transpose(1, 2, 0)
+    tvalid = jnp.arange(T)[:, None] < jnp.asarray(nblocks)[None, :]
+    dense = crf_bm._dense_tm(trans_tm, idx)
+
+    a_split = np.asarray(fwd_states_pallas(dense, tvalid, interpret=True))
+    b_split = np.asarray(bwd_states_pallas(dense, tvalid, interpret=True))
+    a_fused, b_fused = fwdbwd_states_pallas(dense, tvalid, interpret=True)
+    np.testing.assert_array_equal(a_split, np.asarray(a_fused))
+    np.testing.assert_array_equal(b_split, np.asarray(b_fused))
+
+    # the transpost assembled through the fused path == split path
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "on")
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_FB", "split")
+    tp_split = np.asarray(crf_bm._transpost_tm(trans_tm, tvalid, idx))
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_FB", "fused")
+    tp_fused = np.asarray(crf_bm._transpost_tm(trans_tm, tvalid, idx))
+    np.testing.assert_array_equal(tp_split, tp_fused)
