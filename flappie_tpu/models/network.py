@@ -214,17 +214,24 @@ def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_
     x, nblocks = conv_stack(params, cfg, signal, lengths)
     x = rnn_stack(params, cfg, x, nblocks, rnn_impl)
     W, b = params["ff"]["W"], params["ff"]["b"]
+    # rnn_impl="scan" is the differentiable path (training losses):
+    # the head's partition scan must avoid the inference-only Pallas
+    # decode kernels too, or jax.grad breaks on TPU (no JVP rule).
+    head_impl = "scan" if rnn_impl == "scan" else None
     if cfg.head == "flipflop":
         if return_norm:
             out, shift, incs = globalnorm_flipflop(
-                x, W, b, temperature, nblocks, cfg.nbase, return_norm=True
+                x, W, b, temperature, nblocks, cfg.nbase, return_norm=True,
+                impl=head_impl
             )
             return out, nblocks, shift, incs
-        out = globalnorm_flipflop(x, W, b, temperature, nblocks, cfg.nbase)
+        out = globalnorm_flipflop(x, W, b, temperature, nblocks, cfg.nbase,
+                                  impl=head_impl)
     elif return_norm:
         raise ValueError(f"return_norm unsupported for head {cfg.head!r}")
     elif cfg.head == "runlengthV2":
-        out = globalnorm_runlengthV2(x, W, b, temperature, nblocks, cfg.nbase)
+        out = globalnorm_runlengthV2(x, W, b, temperature, nblocks, cfg.nbase,
+                                     impl=head_impl)
     elif cfg.head == "runlength":
         out = globalnorm_runlength(x, W, b, temperature, nblocks, cfg.nbase)
     else:

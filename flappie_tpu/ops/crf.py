@@ -243,7 +243,8 @@ def _scan_blocked(step, init, xs, K: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
+def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None,
+                impl: str | None = None):
     """Forward pass of the flip-flop CRF.
 
     trans: [B, T, nparam] log-space transition weights
@@ -254,8 +255,14 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
     src/layers.c:1042-1047 calloc).  Padded blocks leave alpha
     unchanged; logZ is the logsumexp of alpha at each read's own final
     block.
+
+    ``impl`` overrides FLAPPIE_TPU_CRF_IMPL for this call; training
+    losses pass ``"scan"`` because the Pallas decode kernels are
+    inference-only (no JVP rule) and would otherwise be selected on
+    TPU, breaking jax.grad through the head's partition function.
     """
     idx = idx if idx is not None else flipflop_index(nbase)
+    impl = impl if impl is not None else _impl()
     B, T, _ = trans.shape
     nstate = idx.nstate
     a0 = jnp.zeros((B, nstate), trans.dtype)
@@ -268,18 +275,18 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
         return alpha, alpha
 
     tvalid = jnp.arange(T)[None, :] < nblocks[:, None]  # [B, T]
-    if _impl() == "scanb":
+    if impl == "scanb":
         from .crf_bm import _fwd_states_tm
 
         alphas_tm = _fwd_states_tm(
             dense.transpose(1, 2, 3, 0), jnp.swapaxes(tvalid, 0, 1)
         )
         alphas = alphas_tm.transpose(2, 0, 1)  # [B, T+1, S]
-    elif _impl() == "seg":
+    elif impl == "seg":
         from .crf_seg import seg_forward_states
 
         alphas = seg_forward_states(dense, nblocks)
-    elif _use_pallas():
+    elif impl == "pallas":
         from .crf_pallas import fwd_scan_pallas
 
         alphas = fwd_scan_pallas(
@@ -298,9 +305,10 @@ def crf_forward(trans, nblocks, nbase: int, idx: TransIndex | None = None):
     return alphas, logZ
 
 
-def crf_partition(trans, nblocks, nbase: int, idx: TransIndex | None = None):
+def crf_partition(trans, nblocks, nbase: int, idx: TransIndex | None = None,
+                  impl: str | None = None):
     """log partition function (reference src/layers.c:1035-1079)."""
-    _, logZ = crf_forward(trans, nblocks, nbase, idx=idx)
+    _, logZ = crf_forward(trans, nblocks, nbase, idx=idx, impl=impl)
     return logZ
 
 

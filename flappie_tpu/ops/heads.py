@@ -32,7 +32,8 @@ def _safe_n(nblocks, dtype):
 
 
 def globalnorm_flipflop(x, W, b, temperature, nblocks, nbase: int,
-                        return_norm: bool = False):
+                        return_norm: bool = False,
+                        impl: str | None = None):
     """x: [B, T, H] -> trans [B, T, nparam], logZ-normalised per read.
 
     Padded blocks are zeroed on output.
@@ -51,17 +52,18 @@ def globalnorm_flipflop(x, W, b, temperature, nblocks, nbase: int,
     if return_norm:
         import jax.scipy.special as jss
 
-        alphas, logZ = crf_forward(C, nblocks, nbase)
+        alphas, logZ = crf_forward(C, nblocks, nbase, impl=impl)
         l = jss.logsumexp(alphas, axis=-1)  # [B, T+1]
         incs = l[:, 1:] - l[:, :-1]  # [B, T]
         shift = logZ / _safe_n(nblocks, C.dtype)
         return mask_tail(C - shift[:, None, None], nblocks), shift, incs
-    logZ = crf_partition(C, nblocks, nbase) / _safe_n(nblocks, C.dtype)
+    logZ = crf_partition(C, nblocks, nbase, impl=impl) / _safe_n(nblocks, C.dtype)
     C = C - logZ[:, None, None]
     return mask_tail(C, nblocks)
 
 
-def globalnorm_runlengthV2(x, W, b, temperature, nblocks, nbase: int):
+def globalnorm_runlengthV2(x, W, b, temperature, nblocks, nbase: int,
+                           impl: str | None = None):
     """x: [B, T, H] -> params [B, T, 2*nbase + 2*nbase^2].
 
     Layout per block: nbase shapes, nbase scales, 2*nbase^2 transitions.
@@ -71,7 +73,7 @@ def globalnorm_runlengthV2(x, W, b, temperature, nblocks, nbase: int):
     shape = 1.0 + jax.nn.softplus(raw[..., :nbase])
     scale = 1e-8 + jax.nn.softplus(raw[..., nbase:nrun])
     trans = jnp.tanh(raw[..., nrun:]) * (5.0 / temperature)
-    logZ = crf_partition(trans, nblocks, 0, idx=rle_index(nbase)) / _safe_n(
+    logZ = crf_partition(trans, nblocks, 0, idx=rle_index(nbase), impl=impl) / _safe_n(
         nblocks, raw.dtype
     )
     trans = trans - logZ[:, None, None]

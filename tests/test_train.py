@@ -162,3 +162,28 @@ def test_ctc_converges_on_synthetic_teacher(tiny_cfg):
     last = np.mean(losses[-3:])
     assert np.isfinite(losses).all()
     assert last < 0.6 * first, f"CTC did not converge: {first:.4f} -> {last:.4f}"
+
+
+def test_grad_works_with_crf_kernels_enabled(tiny_cfg, monkeypatch):
+    """Regression: on TPU the CRF decode scans default to Pallas
+    kernels (inference-only, no JVP rule); jax.grad through the head's
+    partition function must still work because training losses force
+    the differentiable scan path (transitions rnn_impl="scan" ->
+    head impl="scan").  Found running tools/train_tpu_r3.py on the
+    chip: without the override, grad raised inside pallas_call's JVP
+    rule."""
+    monkeypatch.setenv("FLAPPIE_TPU_SCANB_KERNELS", "on")
+    params = init_synthetic(tiny_cfg, seed=0)
+    rng = np.random.default_rng(0)
+    sig = jnp.asarray(rng.normal(size=(2, 256)).astype(np.float32))
+    lens = jnp.asarray([256, 200], jnp.int32)
+    targets = rng.integers(0, 4, size=(2, 16))
+    tlen = np.array([16, 12], np.int64)
+    states = jnp.asarray(flipflop_encode(targets, tlen, 4))
+
+    train_step, optimizer = make_ctc_train_step(tiny_cfg, optax.adam(1e-3))
+    p = jax.tree.map(jnp.asarray, params)
+    s = optimizer.init(p)
+    p, s, loss = train_step(p, s, sig, lens, states,
+                            jnp.asarray(tlen, jnp.int32))
+    assert np.isfinite(float(np.asarray(loss)))
