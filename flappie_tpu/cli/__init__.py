@@ -26,3 +26,38 @@ def honor_jax_platforms() -> None:
         jax.config.update("jax_platforms", plat)
     except Exception:
         pass  # backend already initialised: keep whatever it chose
+
+
+def enable_persistent_cache() -> str | None:
+    """Point JAX's on-disk compilation cache at a per-user directory so
+    repeat CLI invocations skip recompiles.
+
+    The reference compiles once at build time (weights are compiled-in
+    C arrays, src/networks.c:10-14); a jit-based CLI would otherwise
+    pay the full XLA compile EVERY process.  Through this environment's
+    remote-compile service that cost is large and highly variable (the
+    same chunk program measured 13 s to 25 min); with the cache the
+    second process's first call dropped 369 s -> 33 s (measured, and
+    the residual is weights upload + the run itself, not compile).
+
+    ``FLAPPIE_TPU_JAX_CACHE`` overrides the directory; ``off``/``0``
+    disables.  Returns the directory in use (None when disabled or
+    when jax is unavailable/already finalised).
+    """
+    v = os.environ.get("FLAPPIE_TPU_JAX_CACHE", "")
+    if v.lower() in ("off", "0", "none"):
+        return None
+    path = v or os.path.join(
+        os.path.expanduser("~"), ".cache", "flappie_tpu", "jax_cache"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even quick compiles: the tunnel makes every compile
+        # round trip expensive regardless of XLA's own work
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        return None
+    return path

@@ -165,9 +165,10 @@ def expand_files(args_files):
 
 
 def main(argv=None) -> int:
-    from . import honor_jax_platforms
+    from . import enable_persistent_cache, honor_jax_platforms
 
     honor_jax_platforms()
+    enable_persistent_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
 

@@ -128,9 +128,10 @@ def build_parser():
 
 
 def main(argv=None) -> int:
-    from . import honor_jax_platforms
+    from . import enable_persistent_cache, honor_jax_platforms
 
     honor_jax_platforms()
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     if args.licence:
         print("runnie-tpu: a TPU-native reimplementation of the Runnie basecaller.")

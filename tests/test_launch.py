@@ -124,3 +124,25 @@ def test_launcher_merges_trace_shards(fast5_dir, tmp_path):
             assert f[g]["trace"].dtype == np.uint8
             assert f[g]["signal"].dtype == np.float32
     assert not list(tmp_path.glob("trace.h5.part*"))
+
+
+def test_persistent_cache_knob(monkeypatch, tmp_path):
+    """enable_persistent_cache: FLAPPIE_TPU_JAX_CACHE=off disables,
+    a path pins the directory and configures jax's on-disk compile
+    cache (repeat CLI invocations skip the remote recompile)."""
+    import jax
+
+    from flappie_tpu.cli import enable_persistent_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("FLAPPIE_TPU_JAX_CACHE", "off")
+        assert enable_persistent_cache() is None
+        d = tmp_path / "jc"
+        monkeypatch.setenv("FLAPPIE_TPU_JAX_CACHE", str(d))
+        got = enable_persistent_cache()
+        assert got == str(d)
+        assert d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
