@@ -190,6 +190,12 @@ def test_bm_fused_fwdbwd_kernel_bitexact_vs_split(monkeypatch, nbase, T):
     tvalid = jnp.arange(T)[:, None] < jnp.asarray(nblocks)[None, :]
     dense = crf_bm._dense_tm(trans_tm, idx)
 
+    # small time block: interpret mode unrolls K steps into the traced
+    # graph, and compile time dominates at the default K=64
+    from flappie_tpu.ops import crf_bm_pallas
+
+    monkeypatch.setattr(crf_bm_pallas, "TIME_BLOCK", 8)
+
     a_split = np.asarray(fwd_states_pallas(dense, tvalid, interpret=True))
     b_split = np.asarray(bwd_states_pallas(dense, tvalid, interpret=True))
     a_fused, b_fused = fwdbwd_states_pallas(dense, tvalid, interpret=True)

@@ -393,6 +393,9 @@ def test_pallas_fused_dual_chain_bitexact(kind, backward, monkeypatch):
         jnp.swapaxes(jnp.asarray(x), 0, 1), jnp.asarray(iW),
         jnp.asarray(bias), jnp.asarray(sW),
     )
+    # small time block: interpret mode unrolls K steps into the traced
+    # graph, and compile time dominates this test at the default K
+    monkeypatch.setenv("FLAPPIE_TPU_RNN_K", "4")
     monkeypatch.setenv("FLAPPIE_TPU_RNN_DUAL", "off")
     want = np.asarray(fused(*args, interpret=True, backward=backward,
                             lengths=lengths))
