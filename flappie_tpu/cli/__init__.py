@@ -51,9 +51,16 @@ def enable_persistent_cache() -> str | None:
         os.path.expanduser("~"), ".cache", "flappie_tpu", "jax_cache"
     )
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        # Only when a cache dir is explicitly pinned does CPU opt in:
+        # local CPU compiles are quick (the cache exists for the
+        # remote-compile service), and serializing XLA:CPU executables
+        # of the big fused programs has segfaulted the interpreter
+        # (observed in the test suite's in-process CLI runs).
+        if not v and jax.config.jax_platforms == "cpu":
+            return None
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache even quick compiles: the tunnel makes every compile
         # round trip expensive regardless of XLA's own work

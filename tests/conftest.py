@@ -8,6 +8,11 @@ The backend itself is not initialised yet, so jax.config.update works.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermeticity: in-process CLI tests must not point the GLOBAL jax
+# compilation cache at the user's dir (and serializing XLA:CPU
+# executables of the big fused programs has segfaulted);
+# test_persistent_cache_knob overrides this explicitly
+os.environ.setdefault("FLAPPIE_TPU_JAX_CACHE", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

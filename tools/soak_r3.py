@@ -96,6 +96,68 @@ def main() -> int:
     print(f"cold/warm outputs identical: "
           f"{results['cold_warm_bytes_identical']}", flush=True)
 
+    # -- dispatch-only reference under the SAME tunnel weather ----------
+    # The same chunk workload through bench-style prepacked pipelined
+    # dispatch: the delta to the warm CLI wall isolates CLI overhead
+    # (startup, fast5 IO, preprocessing, packing, FASTQ) from the
+    # day's tunnel throughput.
+    from flappie_tpu import native
+    from flappie_tpu.basecall import Basecaller, encode_d8
+    from flappie_tpu.parallel.chunking import chunk_records, plan_chunks
+    from flappie_tpu.signal.fast5 import read_raw
+
+    CHUNK, OVERLAP, CB, G = 12800, 1600, 128, 3
+    caller = Basecaller("r941_native", seed=0, compute_trace=False,
+                        chunk=CHUNK, overlap=OVERLAP, chunk_batch=CB)
+    stride = caller.cfg.total_stride
+    tables = [read_raw(os.path.join(reads_dir, f"read{i:04d}.fast5"))
+              for i in range(n_reads)]
+    jobs = []
+    for rt in native.preprocess_batch(tables):
+        if rt is None:
+            continue
+        adc_seg = rt.adc[rt.start : rt.end]
+        scal = np.array([rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1]],
+                        np.float32)
+        n = rt.end - rt.start
+        for r in chunk_records(plan_chunks(n, stride, CHUNK, OVERLAP)):
+            jobs.append((adc_seg, scal, r))
+    bufs = []
+    for ofs in range(0, len(jobs), CB):
+        sl = jobs[ofs : ofs + CB]
+        adc = np.zeros((CB, CHUNK), np.int16)
+        ln = np.full(CB, stride, np.int32)
+        qlo = np.zeros(CB, np.int32)
+        qhi = np.zeros(CB, np.int32)
+        sc = np.zeros((CB, 4), np.float32)
+        sc[:, 3] = 1.0
+        for j, (seg, s, r) in enumerate(sl):
+            adc[j, : r.length] = seg[r.start : r.start + r.length]
+            ln[j] = r.length
+            qlo[j] = r.qlo
+            qhi[j] = r.qhi
+            sc[j] = s
+        b16 = Basecaller.pack_chunk_inputs_i16(adc, ln, qlo, qhi, sc)
+        b8 = encode_d8(b16)
+        bufs.append(b8 if b8 is not None else b16)
+    grouped = [np.concatenate(bufs[o : o + G], axis=0)
+               for o in range(0, len(bufs) - G + 1, G)]
+    rest = bufs[len(grouped) * G :]
+    _ = np.asarray(caller.dispatch_packed_chunk_d8_grouped(grouped[0], G))
+    t0 = time.perf_counter()
+    pend = [caller.dispatch_packed_chunk_d8_grouped(b, G) for b in grouped]
+    pend += [caller.dispatch_packed_chunk_d8(b) for b in rest]
+    outs = [np.asarray(o) for o in pend]
+    wall_d = time.perf_counter() - t0
+    results["dispatch_only"] = {
+        "chunk_batches": len(bufs),
+        "wall_s": round(wall_d, 2),
+        "samples_per_s": round(total_samples / wall_d, 1),
+    }
+    print(f"dispatch_only (same weather): {results['dispatch_only']}",
+          flush=True)
+    del outs
+
     out = os.path.join(REPO, "docs", "SOAK_r3.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
