@@ -81,6 +81,11 @@ def main() -> int:
     )
     args = p.parse_args()
 
+    from flappie_tpu.cli import enable_persistent_cache, honor_jax_platforms
+
+    honor_jax_platforms()
+    enable_persistent_cache()
+
     import jax
 
     n_all = jax.device_count()

@@ -50,18 +50,8 @@ def _encode(seq) -> np.ndarray:
     return np.asarray(seq, dtype=np.uint8)
 
 
-def align_identity(call, truth) -> Alignment:
-    """Global alignment of ``call`` (rows) vs ``truth`` (cols).
-
-    Accepts str/bytes (e.g. "ACGT...") or integer arrays; symbols
-    compare by equality.  Returns per-column counts; empty inputs align
-    as pure gaps.
-    """
-    a, b = _encode(call), _encode(truth)
+def _dp_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n, m = a.size, b.size
-    if n == 0 or m == 0:
-        return Alignment(0, 0, n, m, n + m)
-
     H = np.empty((n + 1, m + 1), dtype=np.int32)
     H[0] = GAP * np.arange(m + 1, dtype=np.int32)
     H[:, 0] = GAP * np.arange(n + 1, dtype=np.int32)
@@ -75,6 +65,22 @@ def align_identity(call, truth) -> Alignment:
             m + 1, dtype=np.int32
         )
         H[i, 1:] = (np.maximum.accumulate(cand) + GAP * np.arange(m + 1))[1:]
+    return H
+
+
+def align_identity(call, truth) -> Alignment:
+    """Global alignment of ``call`` (rows) vs ``truth`` (cols).
+
+    Accepts str/bytes (e.g. "ACGT...") or integer arrays; symbols
+    compare by equality.  Returns per-column counts; empty inputs align
+    as pure gaps.
+    """
+    a, b = _encode(call), _encode(truth)
+    n, m = a.size, b.size
+    if n == 0 or m == 0:
+        return Alignment(0, 0, n, m, n + m)
+
+    H = _dp_matrix(a, b)
 
     # traceback
     i, j = n, m
@@ -96,3 +102,33 @@ def align_identity(call, truth) -> Alignment:
     dels += j
     return Alignment(matches, mismatches, ins, dels,
                      matches + mismatches + ins + dels)
+
+
+def align_call_status(call, truth) -> np.ndarray:
+    """Per-called-base correctness under the same global alignment.
+
+    Returns a bool array of ``len(call)``: True where the called base
+    aligns to an identical truth base, False where it aligns to a
+    different base or to a gap (an insertion).  Deletions have no
+    called base and so do not appear; they still lower identity via
+    ``align_identity``.  This is the per-base signal quality-score
+    calibration needs (flappie_tpu.qcal).
+    """
+    a, b = _encode(call), _encode(truth)
+    n, m = a.size, b.size
+    status = np.zeros(n, dtype=bool)
+    if n == 0 or m == 0:
+        return status
+    H = _dp_matrix(a, b)
+    i, j = n, m
+    while i > 0 and j > 0:
+        s = MATCH if a[i - 1] == b[j - 1] else MISMATCH
+        if H[i, j] == H[i - 1, j - 1] + s:
+            status[i - 1] = s == MATCH
+            i -= 1
+            j -= 1
+        elif H[i, j] == H[i - 1, j] + GAP:
+            i -= 1  # insertion: stays False
+        else:
+            j -= 1  # deletion: no called base
+    return status

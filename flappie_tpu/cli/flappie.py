@@ -134,6 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured accuracy band (tools/fast_mode_accuracy.py "
                         "-> docs/ACCURACY_fast_r3.json) instead of being "
                         "bit-exact to the reference")
+    p.add_argument("--qcal", default=None, metavar="slope:offset",
+                   help="Calibrate quality scores post-hoc: q' = "
+                        "slope*q + offset per base (the reference's "
+                        "qualities are explicitly uncalibrated, its "
+                        "README.md:231-234).  Fit the pair with "
+                        "tools/qscore_calibrate.py against known-truth "
+                        "reads; omit for raw model qualities (the "
+                        "byte-parity default)")
     p.add_argument("--jax-profile", default=None, metavar="dir",
                    help="Capture a JAX/XLA device profile of the basecalling "
                         "loop into this directory (view with TensorBoard or "
@@ -271,11 +279,23 @@ def main(argv=None) -> int:
             max_batch=args.batch,
         )
 
+    qcal = None
+    if args.qcal:
+        from ..qcal import apply_calibration, parse_qcal
+
+        qcal = parse_qcal(args.qcal)
+
     with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
         for fn, name, res in zip(fnames, names, results):
             if res is None:
                 print(f"No basecall returned for {fn}", file=sys.stderr)
                 continue
+            if qcal is not None and res.quality is not None:
+                import dataclasses
+
+                res = dataclasses.replace(
+                    res, quality=apply_calibration(res.quality, *qcal)
+                )
             out.write(
                 format_read(args.format, res.uuid, name, args.uuid, args.prefix, res)
             )

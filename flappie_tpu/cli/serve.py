@@ -1,0 +1,283 @@
+"""flappie-serve: a long-lived basecalling server process.
+
+The reference's unit of deployment is one short-lived process per read
+(``find | parallel -X flappie``, reference README.md:81-83): every
+invocation re-pays program startup, and for a jit runtime that would
+mean the full XLA compile + weights upload EVERY request (measured
+through this environment's remote-compile service: 13 s-25 min per
+program; with the persistent cache a fresh process still pays ~33 s of
+weights upload + cache load, docs/SOAK_r3.json cold=83.8 s vs
+warm=61.3 s).  A server keeps the Basecaller -- uploaded weights,
+compiled programs, the native preprocessing pool -- warm across
+requests, so request N>=2 costs only its own data.
+
+Two intake modes:
+
+- **stdin** (default): one request per line, each a fast5 file or a
+  directory (expanded to ``dir/*.fast5`` like the flappie CLI).  Records
+  stream to stdout (or to one file per request with ``--output-dir``);
+  a machine-readable ack per request goes to stderr:
+  ``flappie-serve: done <request> reads=N called=M wall=S.SSs``.
+  EOF ends the server.
+- **watch** (``--watch DIR``): poll DIR for newly arrived ``*.fast5``
+  every ``--poll`` seconds and basecall them as they land (the
+  sequencer-output workflow).  A file named ``STOP`` in DIR (or
+  ``--stop-file``) shuts the server down cleanly.
+
+Per-read fault isolation matches the flappie CLI ("No basecall
+returned for X" on stderr, the batch continues); a failed request never
+kills the server.  ``--warmup`` basecalls one synthetic chunk-length
+read at startup so the chunked device program is compiled before the
+first real request, then acks ``flappie-serve: ready``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..io.fastx import OUTFORMATS, format_read
+from ..models.config import MODELS
+from ..signal.fast5 import iter_reads, read_raw
+from .flappie import (
+    DEFAULT_MODEL,
+    expand_files,
+    model_help_text,
+    segmentation_pair,
+    trim_pair,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flappie-serve",
+        description="Long-lived flappie basecalling server "
+                    "(warm weights + compiled programs across requests)",
+    )
+    p.add_argument("--model", "-m", default=DEFAULT_MODEL, metavar="name",
+                   help='Model to use ("help" to list)')
+    p.add_argument("--checkpoint", default=None, metavar="npz",
+                   help="Model weights (npz checkpoint); synthetic if omitted")
+    p.add_argument("--format", "-f", default="fastq", metavar="format",
+                   help="Output format (fasta, fastq or sam)")
+    p.add_argument("--prefix", "-p", default="", metavar="string")
+    p.add_argument("--uuid", dest="uuid", action="store_true", default=True)
+    p.add_argument("--no-uuid", dest="uuid", action="store_false")
+    p.add_argument("--delta", "-d", type=float, default=0.0, metavar="factor")
+    p.add_argument("--reverse", "-r", action="store_true", default=False)
+    p.add_argument("--temperature", type=float, default=1.0, metavar="factor")
+    p.add_argument("--trim", "-t", type=trim_pair, default=(200, 10), metavar="start:end")
+    p.add_argument("--segmentation", type=segmentation_pair, default=(100, 0.0),
+                   metavar="chunk:percentile")
+    p.add_argument("--viterbi", "-v", dest="viterbi", action="store_true", default=False)
+    p.add_argument("--no-viterbi", "--fb", dest="viterbi", action="store_false")
+    p.add_argument("--batch", type=int, default=32, metavar="B")
+    p.add_argument("--chunk", type=int, default=None, metavar="samples")
+    p.add_argument("--overlap", type=int, default=1600, metavar="samples")
+    p.add_argument("--chunk-batch", type=int, default=256, metavar="N")
+    p.add_argument("--multi", action="store_true", default=False,
+                   help="Basecall every read in multi-read fast5 files")
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="bf16 stream mode (see flappie --fast)")
+    # serve-specific
+    p.add_argument("--output-dir", default=None, metavar="dir",
+                   help="Write one <request-stem>.<format> file per request "
+                        "(atomic tmp+rename) instead of streaming to stdout")
+    p.add_argument("--watch", default=None, metavar="dir",
+                   help="Watch a directory for newly arrived fast5 files "
+                        "instead of reading requests from stdin")
+    p.add_argument("--poll", type=float, default=2.0, metavar="seconds",
+                   help="Watch-mode poll interval")
+    p.add_argument("--stop-file", default=None, metavar="path",
+                   help="Watch mode stops when this file appears "
+                        "(default: <watch-dir>/STOP)")
+    p.add_argument("--warmup", action="store_true", default=False,
+                   help="Compile the chunked device program on a synthetic "
+                        "read before serving (acks 'ready' on stderr)")
+    return p
+
+
+def _ack(msg: str) -> None:
+    print(f"flappie-serve: {msg}", file=sys.stderr, flush=True)
+
+
+class Server:
+    """Holds the warm Basecaller and basecalls one request at a time."""
+
+    def __init__(self, args):
+        from ..basecall import Basecaller
+
+        self.args = args
+        self.caller = Basecaller(
+            model=args.model,
+            checkpoint=args.checkpoint,
+            temperature=args.temperature,
+            viterbi_only=args.viterbi,
+            compute_trace=False,
+            chunk=args.chunk,
+            overlap=args.overlap,
+            chunk_batch=args.chunk_batch,
+        )
+
+    def warmup(self) -> None:
+        """Basecall one synthetic read one sample longer than the chunk
+        size, so the chunked program (ONE compiled shape for any read
+        length) and the preprocessing path are warm before request 1."""
+        import numpy as np
+
+        from ..signal.preprocess import RawTable
+
+        n = int(self.caller.chunk or 12800) + self.args.trim[0] + self.args.trim[1] + 1
+        rng = np.random.default_rng(0)
+        raw = (rng.standard_normal(n) * 20.0 + 100.0).astype(np.float32)
+        rt = RawTable(uuid="warmup", n=n, start=0, end=n, raw=raw)
+        self._call([rt])
+
+    def _call(self, reads):
+        a = self.args
+        return self.caller.basecall_raw_tables(
+            reads,
+            trim_start=a.trim[0], trim_end=a.trim[1],
+            varseg_chunk=a.segmentation[0], varseg_thresh=a.segmentation[1],
+            delta=a.delta, reverse=a.reverse, max_batch=a.batch,
+        )
+
+    def handle(self, request: str, out) -> tuple[int, int]:
+        """Basecall one request (file or directory) into ``out``.
+
+        Returns (reads_seen, reads_called).  Per-read failures are
+        reported and skipped, same contract as the flappie CLI.
+        """
+        files = expand_files([request])
+        reads, names, fnames = [], [], []
+        for fn in files:
+            try:
+                if self.args.multi:
+                    rts = list(iter_reads(fn, scale_to_pA=True)) or [
+                        read_raw(fn, scale_to_pA=True)
+                    ]
+                else:
+                    rts = [read_raw(fn, scale_to_pA=True)]
+            except Exception:
+                rts = [None]
+            for rt in rts:
+                reads.append(rt)
+                names.append(os.path.basename(fn))
+                fnames.append(fn)
+        ok_idx = [i for i, rt in enumerate(reads) if rt is not None]
+        results_ok = self._call([reads[i] for i in ok_idx]) if ok_idx else []
+        results = [None] * len(reads)
+        for i, res in zip(ok_idx, results_ok):
+            results[i] = res
+        called = 0
+        for fn, name, res in zip(fnames, names, results):
+            if res is None:
+                print(f"No basecall returned for {fn}", file=sys.stderr)
+                continue
+            out.write(format_read(self.args.format, res.uuid, name,
+                                  self.args.uuid, self.args.prefix, res))
+            called += 1
+        out.flush()
+        return len(reads), called
+
+    def handle_to_dest(self, request: str) -> tuple[int, int, str]:
+        """Route one request to stdout or an atomic per-request file."""
+        a = self.args
+        if not a.output_dir:
+            n, called = self.handle(request, sys.stdout)
+            return n, called, "-"
+        os.makedirs(a.output_dir, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(request.rstrip("/")))[0]
+        dest = os.path.join(a.output_dir, f"{stem}.{a.format}")
+        tmp = dest + ".tmp"
+        with open(tmp, "w") as out:
+            n, called = self.handle(request, out)
+        os.replace(tmp, dest)  # atomic: watchers never see partial files
+        return n, called, dest
+
+
+def serve_stdin(server: Server) -> int:
+    for line in sys.stdin:
+        request = line.strip()
+        if not request:
+            continue
+        t0 = time.monotonic()
+        try:
+            n, called, dest = server.handle_to_dest(request)
+        except Exception as exc:  # noqa: BLE001 - request isolation
+            _ack(f"error {request} ({exc})")
+            continue
+        _ack(f"done {request} reads={n} called={called} "
+             f"wall={time.monotonic() - t0:.2f}s"
+             + (f" output={dest}" if dest != "-" else ""))
+    return 0
+
+
+def serve_watch(server: Server) -> int:
+    a = server.args
+    stop_file = a.stop_file or os.path.join(a.watch, "STOP")
+    seen: set[str] = set()
+    while True:
+        if os.path.exists(stop_file):
+            _ack("stopping (stop file present)")
+            return 0
+        try:
+            new = sorted(
+                fn for fn in os.listdir(a.watch)
+                if fn.endswith(".fast5")
+                and os.path.join(a.watch, fn) not in seen
+            )
+        except FileNotFoundError:
+            _ack(f"watch directory {a.watch} vanished; stopping")
+            return 1
+        for fn in new:
+            path = os.path.join(a.watch, fn)
+            seen.add(path)
+            t0 = time.monotonic()
+            try:
+                n, called, dest = server.handle_to_dest(path)
+            except Exception as exc:  # noqa: BLE001
+                _ack(f"error {path} ({exc})")
+                continue
+            _ack(f"done {path} reads={n} called={called} "
+                 f"wall={time.monotonic() - t0:.2f}s"
+                 + (f" output={dest}" if dest != "-" else ""))
+        if not new:
+            time.sleep(a.poll)
+
+
+def main(argv=None) -> int:
+    from . import enable_persistent_cache, honor_jax_platforms
+
+    honor_jax_platforms()
+    enable_persistent_cache()
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.model.lower() == "help":
+        sys.stdout.write(model_help_text())
+        return 0
+    if args.model not in MODELS:
+        print(f'Invalid Flappie model "{args.model}".')
+        sys.stdout.write(model_help_text())
+        return 1
+    if args.format not in OUTFORMATS:
+        print(f'Unrecognised output format "{args.format}".', file=sys.stderr)
+        return 1
+    if args.fast:
+        os.environ.setdefault("FLAPPIE_TPU_RNN_STREAM", "bf16")
+
+    server = Server(args)
+    if args.warmup:
+        server.warmup()
+    _ack("ready")
+
+    if args.watch:
+        return serve_watch(server)
+    return serve_stdin(server)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

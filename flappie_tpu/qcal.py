@@ -1,0 +1,121 @@
+"""Empirical quality-score calibration.
+
+The reference ships UNCALIBRATED qualities: "derived directly from the
+probabilistic model ... not calibrated" (reference README.md:231-234).
+This module measures and corrects that: given basecalls with known
+truth, per-base correctness from the alignment (accuracy.align_call_status)
+gives the empirical error rate at each predicted phred score, and a
+weighted linear fit q_emp ~= a*q_pred + b yields a remap that can be
+applied post-hoc (flappie CLI ``--qcal a:b``) without touching the
+model or the byte-parity default path.
+
+The workflow mirrors guppy-style qscore calibration (a per-model
+slope/offset pair); tools/qscore_calibrate.py builds the artifact with
+the synthetic-teacher truth machinery (train/data.py) and writes
+docs/QCAL_r3.json.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+PHRED_OFFSET = 33
+MAX_QCHAR = 126  # reference phredf cap (src/util.h:285-313)
+
+
+def phred_from_qstring(quality: str) -> np.ndarray:
+    """Phred+33 chars -> integer phred scores."""
+    return np.frombuffer(quality.encode(), dtype=np.uint8).astype(np.int32) - PHRED_OFFSET
+
+
+@dataclass(frozen=True)
+class CalibrationTable:
+    """Per-predicted-phred empirical error statistics."""
+
+    q: np.ndarray  # predicted phred values present in the data
+    n: np.ndarray  # bases observed at each q
+    n_err: np.ndarray  # of which wrong (mismatch or insertion)
+    q_emp: np.ndarray  # empirical phred at each q (Jeffreys-smoothed)
+
+    def as_dict(self) -> dict:
+        return {
+            "q": self.q.tolist(),
+            "n": self.n.tolist(),
+            "n_err": self.n_err.tolist(),
+            "q_emp": [round(float(x), 3) for x in self.q_emp],
+        }
+
+
+def calibration_table(quals: np.ndarray, correct: np.ndarray) -> CalibrationTable:
+    """Bin per-base correctness by predicted phred.
+
+    ``quals``: int phred per called base; ``correct``: bool per called
+    base (True = aligned to an identical truth base).  The empirical
+    error rate per bin uses Jeffreys smoothing (n_err + 0.5)/(n + 1) so
+    bins with zero observed errors stay finite.
+    """
+    quals = np.asarray(quals)
+    correct = np.asarray(correct, dtype=bool)
+    assert quals.shape == correct.shape
+    qs = np.unique(quals)
+    n = np.array([(quals == q).sum() for q in qs])
+    n_err = np.array([((quals == q) & ~correct).sum() for q in qs])
+    p_err = (n_err + 0.5) / (n + 1.0)
+    q_emp = -10.0 * np.log10(p_err)
+    return CalibrationTable(qs, n, n_err, q_emp)
+
+
+def fit_calibration(table: CalibrationTable) -> tuple[float, float]:
+    """Weighted least-squares line q_emp = a*q + b (weights = counts).
+
+    Falls back to identity when the table is degenerate (fewer than two
+    distinct predicted scores).
+    """
+    if table.q.size < 2:
+        return 1.0, 0.0
+    w = table.n.astype(np.float64)
+    x = table.q.astype(np.float64)
+    y = table.q_emp.astype(np.float64)
+    W = w.sum()
+    xm = (w * x).sum() / W
+    ym = (w * y).sum() / W
+    den = (w * (x - xm) ** 2).sum()
+    if den == 0.0:
+        return 1.0, 0.0
+    a = (w * (x - xm) * (y - ym)).sum() / den
+    return float(a), float(ym - a * xm)
+
+
+def calibration_error(table: CalibrationTable, a: float = 1.0, b: float = 0.0) -> float:
+    """Count-weighted mean |q_emp - (a*q_pred + b)| in phred units.
+
+    With the default identity map this measures how mis-calibrated the
+    raw model qualities are; after fitting it measures the residual.
+    """
+    w = table.n.astype(np.float64)
+    pred = a * table.q.astype(np.float64) + b
+    return float((w * np.abs(table.q_emp - pred)).sum() / w.sum())
+
+
+def apply_calibration(quality: str, a: float, b: float) -> str:
+    """Remap a phred+33 quality string by q' = round(a*q + b).
+
+    Clipped to [0, MAX_QCHAR - 33] -- the reference's own char cap
+    (phredf caps the emitted char at 126, src/util.h:285-313).  The
+    identity map (a=1, b=0) returns the input unchanged.
+    """
+    if a == 1.0 and b == 0.0:
+        return quality
+    q = phred_from_qstring(quality).astype(np.float64)
+    q2 = np.clip(np.rint(a * q + b), 0, MAX_QCHAR - PHRED_OFFSET).astype(np.uint8)
+    return (q2 + PHRED_OFFSET).tobytes().decode()
+
+
+def parse_qcal(arg: str) -> tuple[float, float]:
+    """CLI ``--qcal a:b`` (slope:offset)."""
+    parts = arg.split(":")
+    if len(parts) != 2:
+        raise ValueError("--qcal should be of form slope:offset")
+    return float(parts[0]), float(parts[1])

@@ -1,0 +1,117 @@
+"""flappie-serve: the long-lived server yields byte-identical records
+to the one-shot CLI, isolates bad requests, and supports watch mode.
+
+Outputs are compared across SUBPROCESSES with identical process config
+(same contract as test_launch.py: XLA:CPU numerics are only pinned
+between identically-configured processes, which is the deployment
+contract anyway).
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIX = "/root/reference/src/test"
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    return env
+
+
+@pytest.fixture(scope="module")
+def serve_fixture(tmp_path_factory):
+    """One short fast5 read + the one-shot CLI's output for it."""
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    d = tmp_path_factory.mktemp("serve")
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    f5 = d / "a.fast5"
+    write_single_read_fast5(str(f5), raw[:9000], "serve-read-a")
+
+    expected_path = d / "expected.fastq"
+    proc = subprocess.run(
+        [sys.executable, "-m", "flappie_tpu.cli.flappie",
+         str(f5), "--output", str(expected_path)],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    expected = expected_path.read_text()
+    assert expected.startswith("@serve-read-a  ")
+    return str(f5), expected
+
+
+def test_serve_stdin_repeat_and_isolation(serve_fixture):
+    """Two identical requests return identical records (the warm path
+    really re-runs); a bogus request in between is isolated."""
+    f5, expected = serve_fixture
+    requests = f"{f5}\n/does/not/exist.fast5\n{f5}\n"
+    proc = subprocess.run(
+        [sys.executable, "-m", "flappie_tpu.cli.serve"],
+        input=requests, cwd=REPO, env=_env(),
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout == expected + expected
+    acks = [l for l in proc.stderr.splitlines() if l.startswith("flappie-serve:")]
+    assert acks[0] == "flappie-serve: ready"
+    done = [a for a in acks if " done " in a]
+    assert len(done) == 3  # bogus request acks done with reads=0
+    assert "reads=1 called=1" in done[0] and "reads=1 called=1" in done[2]
+    assert "reads=0 called=0" in done[1]
+
+
+def test_serve_watch_mode_atomic_outputs(serve_fixture, tmp_path):
+    """Watch mode picks up files as they arrive, writes atomic
+    per-request outputs, and stops on the STOP sentinel."""
+    f5, expected = serve_fixture
+    watch = tmp_path / "incoming"
+    outdir = tmp_path / "called"
+    watch.mkdir()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "flappie_tpu.cli.serve",
+         "--watch", str(watch), "--output-dir", str(outdir),
+         "--poll", "0.2"],
+        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        # drop the read in AFTER the server started: tmp+rename so the
+        # watcher never sees a partial file
+        import shutil
+
+        shutil.copy(f5, str(watch / ".a.fast5.tmp"))
+        os.replace(str(watch / ".a.fast5.tmp"), str(watch / "a.fast5"))
+        dest = outdir / "a.fastq"
+        deadline = time.monotonic() + 600
+        while not dest.exists() and time.monotonic() < deadline:
+            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            time.sleep(0.2)
+        assert dest.exists(), "watch mode never produced the output"
+        assert dest.read_text() == expected
+        assert not (outdir / "a.fastq.tmp").exists()
+        (watch / "STOP").touch()
+        out, err = proc.communicate(timeout=60)
+    except Exception:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, err[-2000:]
+    assert "stopping" in err
+
+
+def test_serve_rejects_bad_model():
+    proc = subprocess.run(
+        [sys.executable, "-m", "flappie_tpu.cli.serve", "--model", "nope"],
+        input="", cwd=REPO, env=_env(),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 1
+    assert "Invalid Flappie model" in proc.stdout
