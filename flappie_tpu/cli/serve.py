@@ -21,8 +21,11 @@ Two intake modes:
   EOF ends the server.
 - **watch** (``--watch DIR``): poll DIR for newly arrived ``*.fast5``
   every ``--poll`` seconds and basecall them as they land (the
-  sequencer-output workflow).  A file named ``STOP`` in DIR (or
-  ``--stop-file``) shuts the server down cleanly.
+  sequencer-output workflow).  A file is only picked up once its
+  (size, mtime) is stable across one poll interval, so files still
+  being written by the sequencer are never read partially.  A file
+  named ``STOP`` in DIR (or ``--stop-file``) shuts the server down
+  cleanly.
 
 Per-read fault isolation matches the flappie CLI ("No basecall
 returned for X" on stderr, the batch continues); a failed request never
@@ -81,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Basecall every read in multi-read fast5 files")
     p.add_argument("--fast", action="store_true", default=False,
                    help="bf16 stream mode (see flappie --fast)")
+    p.add_argument("--qcal", default=None, metavar="slope:offset",
+                   help="Calibrate quality scores post-hoc (see flappie "
+                        "--qcal; fit the pair with tools/qscore_calibrate.py)")
     # serve-specific
     p.add_argument("--output-dir", default=None, metavar="dir",
                    help="Write one <request-stem>.<format> file per request "
@@ -110,6 +116,11 @@ class Server:
         from ..basecall import Basecaller
 
         self.args = args
+        self.qcal = None
+        if args.qcal:
+            from ..qcal import parse_qcal
+
+            self.qcal = parse_qcal(args.qcal)
         self.caller = Basecaller(
             model=args.model,
             checkpoint=args.checkpoint,
@@ -176,6 +187,14 @@ class Server:
             if res is None:
                 print(f"No basecall returned for {fn}", file=sys.stderr)
                 continue
+            if self.qcal is not None and res.quality is not None:
+                import dataclasses
+
+                from ..qcal import apply_calibration
+
+                res = dataclasses.replace(
+                    res, quality=apply_calibration(res.quality, *self.qcal)
+                )
             out.write(format_read(self.args.format, res.uuid, name,
                                   self.args.uuid, self.args.prefix, res))
             called += 1
@@ -215,26 +234,59 @@ def serve_stdin(server: Server) -> int:
     return 0
 
 
+def watch_scan(path_stats, seen: set, pending: dict) -> list:
+    """One watch poll: which candidate files are READY to basecall.
+
+    A sequencer (or a copy) may still be writing a fast5 when it first
+    appears; reading it then fails the whole request.  A file is ready
+    only once its (size, mtime) signature is UNCHANGED since the
+    previous poll — i.e. it survived one full poll interval without
+    growing.  Atomically-renamed files are ready on their second poll.
+
+    ``path_stats``: iterable of (path, signature) for files present this
+    poll.  Mutates ``seen``/``pending``; returns ready paths in order.
+    """
+    ready = []
+    for path, sig in path_stats:
+        if path in seen:
+            continue
+        if pending.get(path) == sig:
+            ready.append(path)
+            seen.add(path)
+            del pending[path]
+        else:
+            pending[path] = sig
+    return ready
+
+
 def serve_watch(server: Server) -> int:
     a = server.args
     stop_file = a.stop_file or os.path.join(a.watch, "STOP")
     seen: set[str] = set()
+    pending: dict[str, tuple] = {}
     while True:
         if os.path.exists(stop_file):
             _ack("stopping (stop file present)")
             return 0
         try:
-            new = sorted(
-                fn for fn in os.listdir(a.watch)
-                if fn.endswith(".fast5")
-                and os.path.join(a.watch, fn) not in seen
+            listing = sorted(
+                fn for fn in os.listdir(a.watch) if fn.endswith(".fast5")
             )
         except FileNotFoundError:
             _ack(f"watch directory {a.watch} vanished; stopping")
             return 1
-        for fn in new:
+        path_stats = []
+        for fn in listing:
             path = os.path.join(a.watch, fn)
-            seen.add(path)
+            if path in seen:
+                continue
+            try:
+                st = os.stat(path)
+            except OSError:
+                continue  # raced with a rename/delete; next poll decides
+            path_stats.append((path, (st.st_size, st.st_mtime_ns)))
+        new = watch_scan(path_stats, seen, pending)
+        for path in new:
             t0 = time.monotonic()
             try:
                 n, called, dest = server.handle_to_dest(path)

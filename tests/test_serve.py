@@ -107,6 +107,50 @@ def test_serve_watch_mode_atomic_outputs(serve_fixture, tmp_path):
     assert "stopping" in err
 
 
+def test_serve_qcal_applies_remap(serve_fixture):
+    """--qcal remaps the quality line exactly like qcal.apply_calibration
+    and leaves every other record byte alone."""
+    from flappie_tpu.qcal import apply_calibration
+
+    f5, expected = serve_fixture
+    proc = subprocess.run(
+        [sys.executable, "-m", "flappie_tpu.cli.serve", "--qcal", "2.0:1.0"],
+        input=f"{f5}\n", cwd=REPO, env=_env(),
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    header, seq, plus, qual = expected.splitlines()
+    want = "\n".join([header, seq, plus, apply_calibration(qual, 2.0, 1.0)]) + "\n"
+    assert proc.stdout == want
+
+
+def test_watch_scan_stability_gating():
+    """A file is ready only after its (size, mtime) signature survives a
+    full poll; growing files wait, renamed-in files go on poll two."""
+    from flappie_tpu.cli.serve import watch_scan
+
+    seen, pending = set(), {}
+    # poll 1: a.fast5 appears (atomic rename) -> pending, not ready
+    assert watch_scan([("a", (100, 1))], seen, pending) == []
+    # poll 2: unchanged -> ready exactly once
+    assert watch_scan([("a", (100, 1))], seen, pending) == ["a"]
+    assert "a" in seen and "a" not in pending
+    # poll 3: still listed, already seen -> nothing (caller filters seen,
+    # but watch_scan must also be idempotent if handed it again)
+    assert watch_scan([("a", (100, 1))], seen, pending) == []
+
+    # a growing file is never picked up while it grows
+    assert watch_scan([("b", (50, 5))], seen, pending) == []
+    assert watch_scan([("b", (80, 6))], seen, pending) == []
+    assert watch_scan([("b", (80, 7))], seen, pending) == []  # mtime bump
+    assert watch_scan([("b", (80, 7))], seen, pending) == ["b"]
+
+    # two files stabilising on different polls keep their own clocks
+    assert watch_scan([("c", (1, 1)), ("d", (2, 1))], seen, pending) == []
+    assert watch_scan([("c", (1, 1)), ("d", (9, 2))], seen, pending) == ["c"]
+    assert watch_scan([("d", (9, 2))], seen, pending) == ["d"]
+
+
 def test_serve_rejects_bad_model():
     proc = subprocess.run(
         [sys.executable, "-m", "flappie_tpu.cli.serve", "--model", "nope"],
