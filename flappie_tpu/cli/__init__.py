@@ -57,8 +57,13 @@ def enable_persistent_cache() -> str | None:
         # local CPU compiles are quick (the cache exists for the
         # remote-compile service), and serializing XLA:CPU executables
         # of the big fused programs has segfaulted the interpreter
-        # (observed in the test suite's in-process CLI runs).
-        if not v and jax.config.jax_platforms == "cpu":
+        # (observed in the test suite's in-process CLI runs).  Ask the
+        # resolved backend, not the config string: on a host with no
+        # accelerator plugin jax auto-selects CPU with jax_platforms
+        # unset, and spellings like "CPU" or "cpu,tpu" must resolve
+        # too.  The CLI initialises the backend immediately after this
+        # anyway, so default_backend() costs nothing extra.
+        if not v and jax.default_backend() == "cpu":
             return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -176,7 +176,6 @@ def main(argv=None) -> int:
     from . import enable_persistent_cache, honor_jax_platforms
 
     honor_jax_platforms()
-    enable_persistent_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
 
@@ -196,6 +195,19 @@ def main(argv=None) -> int:
         print(f'Unrecognised output format "{args.format}".', file=sys.stderr)
         return 1
     assert args.temperature > 0.0
+    qcal = None
+    if args.qcal:
+        # validate up front: a malformed pair must fail BEFORE the
+        # expensive basecalling run, not after it
+        from ..qcal import parse_qcal
+
+        try:
+            qcal = parse_qcal(args.qcal)
+        except ValueError as exc:
+            parser.error(str(exc))
+    # after the early exits: resolving the backend for the CPU gate
+    # must not make --help/--licence connect to the device
+    enable_persistent_cache()
 
     files = expand_files(args.files)
     if args.limit > 0:
@@ -279,23 +291,14 @@ def main(argv=None) -> int:
             max_batch=args.batch,
         )
 
-    qcal = None
-    if args.qcal:
-        from ..qcal import apply_calibration, parse_qcal
-
-        qcal = parse_qcal(args.qcal)
+    from ..qcal import apply_qcal
 
     with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
         for fn, name, res in zip(fnames, names, results):
             if res is None:
                 print(f"No basecall returned for {fn}", file=sys.stderr)
                 continue
-            if qcal is not None and res.quality is not None:
-                import dataclasses
-
-                res = dataclasses.replace(
-                    res, quality=apply_calibration(res.quality, *qcal)
-                )
+            res = apply_qcal(res, qcal)
             out.write(
                 format_read(args.format, res.uuid, name, args.uuid, args.prefix, res)
             )

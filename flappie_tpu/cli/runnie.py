@@ -131,12 +131,14 @@ def main(argv=None) -> int:
     from . import enable_persistent_cache, honor_jax_platforms
 
     honor_jax_platforms()
-    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     if args.licence:
         print("runnie-tpu: a TPU-native reimplementation of the Runnie basecaller.")
         print("Original Runnie is (c) Oxford Nanopore Technologies, Ltd (ONT Public Licence).")
         return 0
+    # after the early exits: the CPU cache gate resolves the backend,
+    # which must not happen for --help/--licence
+    enable_persistent_cache()
 
     if args.fast:
         # must be set before the first trace: the kernels read the

@@ -5,9 +5,11 @@ The reference's unit of deployment is one short-lived process per read
 invocation re-pays program startup, and for a jit runtime that would
 mean the full XLA compile + weights upload EVERY request (measured
 through this environment's remote-compile service: 13 s-25 min per
-program; with the persistent cache a fresh process still pays ~33 s of
-weights upload + cache load, docs/SOAK_r3.json cold=83.8 s vs
-warm=61.3 s).  A server keeps the Basecaller -- uploaded weights,
+program; even with the persistent cache a fresh process still pays
+weights upload + cache load every time -- docs/SOAK_r3.json records
+cold vs warm CLI walls of 329.9 s vs 199.1 s on a heavily contended
+tunnel day; an earlier quiet-day session measured 83.8 s vs 61.3 s
+for the same workload).  A server keeps the Basecaller -- uploaded weights,
 compiled programs, the native preprocessing pool -- warm across
 requests, so request N>=2 costs only its own data.
 
@@ -43,6 +45,7 @@ import time
 
 from ..io.fastx import OUTFORMATS, format_read
 from ..models.config import MODELS
+from ..qcal import apply_qcal
 from ..signal.fast5 import iter_reads, read_raw
 from .flappie import (
     DEFAULT_MODEL,
@@ -116,6 +119,7 @@ class Server:
         from ..basecall import Basecaller
 
         self.args = args
+        self._dest_owner: dict = {}
         self.qcal = None
         if args.qcal:
             from ..qcal import parse_qcal
@@ -135,7 +139,13 @@ class Server:
     def warmup(self) -> None:
         """Basecall one synthetic read one sample longer than the chunk
         size, so the chunked program (ONE compiled shape for any read
-        length) and the preprocessing path are warm before request 1."""
+        length) and the preprocessing path are warm before request 1.
+
+        With ``--chunk 0`` (chunking disabled) there is no single
+        program to pre-compile — bucket shapes depend on each read's
+        length — so the warmup only warms weights upload, the cache,
+        and preprocessing; the first real request still pays its
+        bucket's compile."""
         import numpy as np
 
         from ..signal.preprocess import RawTable
@@ -187,14 +197,7 @@ class Server:
             if res is None:
                 print(f"No basecall returned for {fn}", file=sys.stderr)
                 continue
-            if self.qcal is not None and res.quality is not None:
-                import dataclasses
-
-                from ..qcal import apply_calibration
-
-                res = dataclasses.replace(
-                    res, quality=apply_calibration(res.quality, *self.qcal)
-                )
+            res = apply_qcal(res, self.qcal)
             out.write(format_read(self.args.format, res.uuid, name,
                                   self.args.uuid, self.args.prefix, res))
             called += 1
@@ -210,10 +213,26 @@ class Server:
         os.makedirs(a.output_dir, exist_ok=True)
         stem = os.path.splitext(os.path.basename(request.rstrip("/")))[0]
         dest = os.path.join(a.output_dir, f"{stem}.{a.format}")
+        # two DIFFERENT requests sharing a basename (run1/a.fast5,
+        # run2/a.fast5) must not clobber each other; a repeat of the
+        # SAME request keeps its name (idempotent reprocessing)
+        if self._dest_owner.get(dest, request) != request:
+            import hashlib
+
+            h = hashlib.sha1(request.encode()).hexdigest()[:8]
+            dest = os.path.join(a.output_dir, f"{stem}-{h}.{a.format}")
+        self._dest_owner[dest] = request
         tmp = dest + ".tmp"
-        with open(tmp, "w") as out:
-            n, called = self.handle(request, out)
-        os.replace(tmp, dest)  # atomic: watchers never see partial files
+        try:
+            with open(tmp, "w") as out:
+                n, called = self.handle(request, out)
+            os.replace(tmp, dest)  # atomic: watchers never see partial files
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return n, called, dest
 
 
@@ -234,29 +253,38 @@ def serve_stdin(server: Server) -> int:
     return 0
 
 
-def watch_scan(path_stats, seen: set, pending: dict) -> list:
+def watch_scan(path_stats, seen: set, pending: dict, now: float,
+               min_age: float) -> list:
     """One watch poll: which candidate files are READY to basecall.
 
     A sequencer (or a copy) may still be writing a fast5 when it first
     appears; reading it then fails the whole request.  A file is ready
-    only once its (size, mtime) signature is UNCHANGED since the
-    previous poll — i.e. it survived one full poll interval without
-    growing.  Atomically-renamed files are ready on their second poll.
+    only once its (size, mtime) signature has been UNCHANGED for at
+    least ``min_age`` seconds of wall time — a wall-clock age, not a
+    poll count, because polls are back-to-back whenever the previous
+    poll produced work.  Atomically-renamed files are ready on the
+    first poll at least ``min_age`` after they appear.
 
-    ``path_stats``: iterable of (path, signature) for files present this
-    poll.  Mutates ``seen``/``pending``; returns ready paths in order.
+    ``path_stats``: iterable of (path, signature) for files present
+    this poll; ``pending`` maps path -> (signature, first_seen_time).
+    Mutates ``seen``/``pending``; returns ready paths in order.
     """
     ready = []
     for path, sig in path_stats:
         if path in seen:
             continue
-        if pending.get(path) == sig:
-            ready.append(path)
-            seen.add(path)
-            del pending[path]
+        prev = pending.get(path)
+        if prev is not None and prev[0] == sig:
+            if now - prev[1] >= min_age:
+                ready.append(path)
+                seen.add(path)
+                del pending[path]
         else:
-            pending[path] = sig
+            pending[path] = (sig, now)
     return ready
+
+
+MAX_WATCH_RETRIES = 2
 
 
 def serve_watch(server: Server) -> int:
@@ -264,6 +292,7 @@ def serve_watch(server: Server) -> int:
     stop_file = a.stop_file or os.path.join(a.watch, "STOP")
     seen: set[str] = set()
     pending: dict[str, tuple] = {}
+    retries: dict[str, int] = {}
     while True:
         if os.path.exists(stop_file):
             _ack("stopping (stop file present)")
@@ -285,13 +314,23 @@ def serve_watch(server: Server) -> int:
             except OSError:
                 continue  # raced with a rename/delete; next poll decides
             path_stats.append((path, (st.st_size, st.st_mtime_ns)))
-        new = watch_scan(path_stats, seen, pending)
+        new = watch_scan(path_stats, seen, pending, time.monotonic(), a.poll)
         for path in new:
             t0 = time.monotonic()
             try:
                 n, called, dest = server.handle_to_dest(path)
             except Exception as exc:  # noqa: BLE001
                 _ack(f"error {path} ({exc})")
+                continue
+            if called == 0 and retries.get(path, 0) < MAX_WATCH_RETRIES:
+                # nothing basecalled: the file may still have been
+                # mid-write (stability gating is a heuristic).  Give it
+                # another stability cycle; bounded so a genuinely
+                # corrupt file cannot retry forever.
+                retries[path] = retries.get(path, 0) + 1
+                seen.discard(path)
+                _ack(f"retry {path} (no reads called, attempt "
+                     f"{retries[path]}/{MAX_WATCH_RETRIES})")
                 continue
             _ack(f"done {path} reads={n} called={called} "
                  f"wall={time.monotonic() - t0:.2f}s"
@@ -304,7 +343,6 @@ def main(argv=None) -> int:
     from . import enable_persistent_cache, honor_jax_platforms
 
     honor_jax_platforms()
-    enable_persistent_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
 
@@ -318,9 +356,22 @@ def main(argv=None) -> int:
     if args.format not in OUTFORMATS:
         print(f'Unrecognised output format "{args.format}".', file=sys.stderr)
         return 1
+    if not args.temperature > 0:
+        print(f"Invalid temperature {args.temperature}.", file=sys.stderr)
+        return 1
+    if args.qcal:
+        from ..qcal import parse_qcal
+
+        try:
+            parse_qcal(args.qcal)
+        except ValueError as exc:
+            parser.error(str(exc))
     if args.fast:
         os.environ.setdefault("FLAPPIE_TPU_RNN_STREAM", "bf16")
 
+    # after the early exits: the CPU cache gate resolves the backend,
+    # which must not happen for --help / "--model help"
+    enable_persistent_cache()
     server = Server(args)
     if args.warmup:
         server.warmup()

@@ -113,6 +113,22 @@ def apply_calibration(quality: str, a: float, b: float) -> str:
     return (q2 + PHRED_OFFSET).tobytes().decode()
 
 
+def apply_qcal(res, qcal: "tuple[float, float] | None"):
+    """Remap a BasecallResult's quality by a parsed --qcal pair.
+
+    Shared by the one-shot CLI and flappie-serve so the two surfaces
+    cannot drift.  No-op (returns ``res`` itself) when ``qcal`` is None
+    or the record has no quality string.
+    """
+    if qcal is None or getattr(res, "quality", None) is None:
+        return res
+    import dataclasses
+
+    return dataclasses.replace(
+        res, quality=apply_calibration(res.quality, *qcal)
+    )
+
+
 def parse_qcal(arg: str) -> tuple[float, float]:
     """CLI ``--qcal a:b`` (slope:offset)."""
     parts = arg.split(":")

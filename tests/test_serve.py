@@ -125,30 +125,89 @@ def test_serve_qcal_applies_remap(serve_fixture):
 
 
 def test_watch_scan_stability_gating():
-    """A file is ready only after its (size, mtime) signature survives a
-    full poll; growing files wait, renamed-in files go on poll two."""
+    """A file is ready only after its (size, mtime) signature has been
+    stable for min_age of WALL time (not a poll count — polls are
+    back-to-back whenever the previous poll produced work): growing
+    files wait, renamed-in files go once they are old enough."""
     from flappie_tpu.cli.serve import watch_scan
 
+    AGE = 1.0
     seen, pending = set(), {}
-    # poll 1: a.fast5 appears (atomic rename) -> pending, not ready
-    assert watch_scan([("a", (100, 1))], seen, pending) == []
-    # poll 2: unchanged -> ready exactly once
-    assert watch_scan([("a", (100, 1))], seen, pending) == ["a"]
+    # t=0: a.fast5 appears (atomic rename) -> pending, not ready
+    assert watch_scan([("a", (100, 1))], seen, pending, 0.0, AGE) == []
+    # t=0.01: unchanged but NOT old enough (back-to-back poll) -> waits
+    assert watch_scan([("a", (100, 1))], seen, pending, 0.01, AGE) == []
+    # t=1.2: unchanged and stable for >= min_age -> ready exactly once
+    assert watch_scan([("a", (100, 1))], seen, pending, 1.2, AGE) == ["a"]
     assert "a" in seen and "a" not in pending
-    # poll 3: still listed, already seen -> nothing (caller filters seen,
-    # but watch_scan must also be idempotent if handed it again)
-    assert watch_scan([("a", (100, 1))], seen, pending) == []
+    # still listed, already seen -> nothing (idempotent)
+    assert watch_scan([("a", (100, 1))], seen, pending, 2.0, AGE) == []
 
-    # a growing file is never picked up while it grows
-    assert watch_scan([("b", (50, 5))], seen, pending) == []
-    assert watch_scan([("b", (80, 6))], seen, pending) == []
-    assert watch_scan([("b", (80, 7))], seen, pending) == []  # mtime bump
-    assert watch_scan([("b", (80, 7))], seen, pending) == ["b"]
+    # a growing file is never picked up while it grows: every signature
+    # change resets its stability clock
+    assert watch_scan([("b", (50, 5))], seen, pending, 2.0, AGE) == []
+    assert watch_scan([("b", (80, 6))], seen, pending, 3.5, AGE) == []
+    assert watch_scan([("b", (80, 7))], seen, pending, 5.0, AGE) == []  # mtime bump
+    assert watch_scan([("b", (80, 7))], seen, pending, 5.5, AGE) == []  # too young
+    assert watch_scan([("b", (80, 7))], seen, pending, 6.1, AGE) == ["b"]
 
-    # two files stabilising on different polls keep their own clocks
-    assert watch_scan([("c", (1, 1)), ("d", (2, 1))], seen, pending) == []
-    assert watch_scan([("c", (1, 1)), ("d", (9, 2))], seen, pending) == ["c"]
-    assert watch_scan([("d", (9, 2))], seen, pending) == ["d"]
+    # two files stabilising at different times keep their own clocks
+    assert watch_scan([("c", (1, 1)), ("d", (2, 1))], seen, pending, 10.0, AGE) == []
+    assert watch_scan([("c", (1, 1)), ("d", (9, 2))], seen, pending, 11.1, AGE) == ["c"]
+    assert watch_scan([("d", (9, 2))], seen, pending, 12.2, AGE) == ["d"]
+
+
+def test_serve_output_dest_collision_and_tmp_cleanup(tmp_path):
+    """Requests from different directories sharing a basename get
+    distinct outputs; repeats of the SAME request keep their name; a
+    failing request leaves no .tmp file behind."""
+    from flappie_tpu.cli.serve import Server
+
+    srv = Server.__new__(Server)  # skip the heavy Basecaller init
+    srv._dest_owner = {}
+
+    class A:
+        output_dir = str(tmp_path)
+        format = "fastq"
+
+    srv.args = A()
+
+    def fake_handle(request, out):
+        out.write(f"rec:{request}\n")
+        return 1, 1
+
+    srv.handle = fake_handle
+    _, _, d1 = srv.handle_to_dest("/run1/a.fast5")
+    _, _, d2 = srv.handle_to_dest("/run2/a.fast5")
+    assert d1 != d2 and os.path.exists(d1) and os.path.exists(d2)
+    with open(d1) as fh:
+        assert fh.read() == "rec:/run1/a.fast5\n"
+    with open(d2) as fh:
+        assert fh.read() == "rec:/run2/a.fast5\n"
+    _, _, d1b = srv.handle_to_dest("/run1/a.fast5")  # idempotent
+    assert d1b == d1
+
+    def boom(request, out):
+        out.write("partial")
+        raise RuntimeError("injected")
+
+    srv.handle = boom
+    with pytest.raises(RuntimeError):
+        srv.handle_to_dest("/run3/b.fast5")
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_qcal_malformed_fails_before_basecalling(tmp_path):
+    """A malformed --qcal pair is an argparse error BEFORE any expensive
+    work (and before the input files are even touched)."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "flappie_tpu.cli.flappie",
+         "--qcal", "1.5", str(tmp_path / "missing.fast5")],
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 2  # argparse error exit
+    assert "slope:offset" in proc.stderr
 
 
 def test_serve_rejects_bad_model():

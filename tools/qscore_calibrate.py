@@ -67,11 +67,15 @@ def main() -> int:
     rng = np.random.default_rng(11)
     signals = rng.normal(size=(args.reads, args.read_len)).astype(np.float32)
 
-    # teacher Viterbi truth over the Basecaller's own preprocessing
+    # teacher Viterbi truth over the Basecaller's own preprocessing.
+    # Keep the ORIGINAL read index of every surviving row: calls are
+    # per input read, and any preprocess drop would otherwise shift
+    # every later call onto the wrong truth.
     tables = [RawTable(f"r{i}", s.size, 0, s.size, s.copy())
               for i, s in enumerate(signals)]
-    segs = [rt.active() for rt in native.preprocess_batch(tables)
-            if rt is not None]
+    pre = native.preprocess_batch(tables)
+    kept = [i for i, rt in enumerate(pre) if rt is not None]
+    segs = [pre[i].active() for i in kept]
     L = max(s.size for s in segs)
     buf = np.zeros((len(segs), L), np.float32)
     for i, s in enumerate(segs):
@@ -83,9 +87,11 @@ def main() -> int:
     )
     _, path, _ = crf_viterbi(trans, nblocks, cfg.nbase)
     path, nblocks = np.asarray(path), np.asarray(nblocks)
-    truths = ["".join(BASES[i] for i in
-                      path_to_bases(path[i], int(nblocks[i]), cfg.nbase))
-              for i in range(len(segs))]
+    truth_by_read = {
+        kept[j]: "".join(BASES[i] for i in
+                         path_to_bases(path[j], int(nblocks[j]), cfg.nbase))
+        for j in range(len(segs))
+    }
 
     params = load_npz(args.student) if args.student else teacher
     bc = Basecaller(cfg, params=params, chunk=0, viterbi_only=False)
@@ -95,8 +101,9 @@ def main() -> int:
     )
 
     quals, correct, idents = [], [], []
-    for res, truth in zip(calls, truths):
-        if res is None or not res.quality:
+    for i, res in enumerate(calls):
+        truth = truth_by_read.get(i)
+        if res is None or truth is None or not res.quality:
             continue
         quals.append(phred_from_qstring(res.quality))
         correct.append(align_call_status(res.basecall, truth))
@@ -118,7 +125,7 @@ def main() -> int:
     out = {
         "truth": "synthetic-teacher Viterbi path (train/data.py machinery)",
         "model": args.student or "teacher (synthetic, H=64)",
-        "reads": len(truths),
+        "reads": len(idents),
         "bases": int(quals.size),
         "mean_identity_pct": round(100 * float(np.mean(idents)), 3),
         "table": table.as_dict(),
@@ -132,7 +139,7 @@ def main() -> int:
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"fit: q' = {a:.3f}*q + {b:.3f} over {quals.size} bases "
-          f"({len(truths)} reads)")
+          f"({len(idents)} reads)")
     print(f"weighted mean |q_emp - q_pred|: raw {err_raw:.2f} -> "
           f"calibrated {err_fit:.2f} phred")
     print(f"wrote {os.path.normpath(args.out)}")

@@ -139,18 +139,30 @@ def main() -> int:
             sc[j] = s
         b16 = Basecaller.pack_chunk_inputs_i16(adc, ln, qlo, qhi, sc)
         b8 = encode_d8(b16)
-        bufs.append(b8 if b8 is not None else b16)
-    grouped = [np.concatenate(bufs[o : o + G], axis=0)
-               for o in range(0, len(bufs) - G + 1, G)]
-    rest = bufs[len(grouped) * G :]
-    _ = np.asarray(caller.dispatch_packed_chunk_d8_grouped(grouped[0], G))
+        # encode_d8 is lossless-or-bust: a batch whose deltas blow the
+        # exception budget returns None and must ride the i16 wire
+        bufs.append(("d8", b8) if b8 is not None else ("i16", b16))
+    d8_bufs = [b for k, b in bufs if k == "d8"]
+    i16_bufs = [b for k, b in bufs if k == "i16"]
+    grouped = [np.concatenate(d8_bufs[o : o + G], axis=0)
+               for o in range(0, len(d8_bufs) - G + 1, G)]
+    rest = d8_bufs[len(grouped) * G :]
+    # warm each program that will be timed
+    if grouped:
+        _ = np.asarray(caller.dispatch_packed_chunk_d8_grouped(grouped[0], G))
+    elif rest:
+        _ = np.asarray(caller.dispatch_packed_chunk_d8(rest[0]))
+    if i16_bufs:
+        _ = np.asarray(caller.dispatch_packed_chunk_i16(i16_bufs[0]))
     t0 = time.perf_counter()
     pend = [caller.dispatch_packed_chunk_d8_grouped(b, G) for b in grouped]
     pend += [caller.dispatch_packed_chunk_d8(b) for b in rest]
+    pend += [caller.dispatch_packed_chunk_i16(b) for b in i16_bufs]
     outs = [np.asarray(o) for o in pend]
     wall_d = time.perf_counter() - t0
     results["dispatch_only"] = {
         "chunk_batches": len(bufs),
+        "i16_fallback_batches": len(i16_bufs),
         "wall_s": round(wall_d, 2),
         "samples_per_s": round(total_samples / wall_d, 1),
     }
