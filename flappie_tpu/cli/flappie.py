@@ -60,7 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="flappie",
         description="Flappie basecaller -- basecall from raw signal",
     )
-    p.add_argument("files", nargs="+", metavar="fast5", help="fast5 file or directory")
+    # nargs="*" so --licence/--version work with no inputs (the
+    # reference's ctest runs them bare: CMakeLists.txt:165-173);
+    # main() errors when files are required but absent
+    p.add_argument("files", nargs="*", metavar="fast5", help="fast5 file or directory")
+    from .. import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"flappie {__version__} (flappie-tpu)")
     p.add_argument("--delta", "-d", type=float, default=0.0, metavar="factor",
                    help="Use delta samples with scaling factor")
     p.add_argument("--format", "-f", default="fastq", metavar="format",
@@ -205,6 +212,8 @@ def main(argv=None) -> int:
             qcal = parse_qcal(args.qcal)
         except ValueError as exc:
             parser.error(str(exc))
+    if not args.files:
+        parser.error("the following arguments are required: fast5")
     # after the early exits: resolving the backend for the CPU gate
     # must not make --help/--licence connect to the device
     enable_persistent_cache()

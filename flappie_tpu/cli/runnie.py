@@ -100,7 +100,13 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="runnie", description="Runnie basecaller -- basecall from raw signal"
     )
-    p.add_argument("files", nargs="+", metavar="fast5")
+    # nargs="*" so --licence/--version work with no inputs (the
+    # reference's ctest runs them bare: CMakeLists.txt:165-173)
+    p.add_argument("files", nargs="*", metavar="fast5")
+    from .. import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"runnie {__version__} (flappie-tpu)")
     p.add_argument("--delta", "-d", type=float, default=0.0, metavar="factor")
     p.add_argument("--limit", "-l", type=int, default=0, metavar="nreads")
     p.add_argument("--output", "-o", default=None, metavar="filename")
@@ -136,6 +142,8 @@ def main(argv=None) -> int:
         print("runnie-tpu: a TPU-native reimplementation of the Runnie basecaller.")
         print("Original Runnie is (c) Oxford Nanopore Technologies, Ltd (ONT Public Licence).")
         return 0
+    if not args.files:
+        build_parser().error("the following arguments are required: fast5")
     # after the early exits: the CPU cache gate resolves the backend,
     # which must not happen for --help/--licence
     enable_persistent_cache()
