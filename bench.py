@@ -292,6 +292,15 @@ def main() -> int:
               f"{max(epochs[name]) / 1e6:.2f} Msamples/s", file=sys.stderr)
     best = {name: max(es) for name, es in epochs.items()}
     sps = max(best.values())
+    best_name = max(best, key=best.get)
+    # per-epoch variance of the headline path: tunnel contention swings
+    # epochs by up to ~±40%, so a "best epoch" claim needs its error bar
+    best_es = epochs[best_name]
+    spread_pct = (
+        100.0 * (max(best_es) - min(best_es)) / max(best_es)
+        if max(best_es) > 0 else 0.0
+    )
+    median_sps = float(np.median(best_es))
 
     baseline = _baseline_sps()
     mfu = sps * FLOP_PER_SAMPLE / V5E_PEAK_FLOPS
@@ -319,8 +328,11 @@ def main() -> int:
                 "vs_baseline": round(sps / baseline, 2),
                 "baseline_samples_per_second": baseline,
                 "mfu_pct": round(mfu * 100, 2),
-                "best_path": max(best, key=best.get),
+                "best_path": best_name,
                 "per_path_best": {k: round(v, 1) for k, v in best.items()},
+                "best_path_epochs": [round(e, 1) for e in best_es],
+                "epoch_spread_pct": round(spread_pct, 1),
+                "median_samples_per_second": round(median_sps, 1),
             }
         )
     )

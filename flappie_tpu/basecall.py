@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from . import timing
 from .decode.seq import path_to_basecall
 from .io.fastx import BasecallResult
 from .models.config import ModelConfig, get_model_config
@@ -75,7 +76,10 @@ class _Pipeline:
 
     def _run(self, tag, out) -> None:
         try:
-            self._collect(tag, jax.tree.map(np.asarray, out))
+            with timing.phase("collect_wait"):  # device wait + D2H bytes
+                out = jax.tree.map(np.asarray, out)
+            with timing.phase("collect_host"):  # unpack + assemble
+                self._collect(tag, out)
         except Exception as exc:  # noqa: BLE001 - per-batch isolation
             if self._on_error is None:
                 raise
@@ -394,6 +398,22 @@ def encode_d8(buf_i16: np.ndarray):
     None if any row needs more exception slots (caller falls back to
     the i16 wire).
 
+    Runs on the native thread pool when the host library is available
+    (ft_encode_d8 -- this O(B*W) pass was the top single-core host cost
+    in the round-3 soak); the numpy path below is the bit-identical
+    reference implementation and the fallback.
+    """
+    from . import native
+
+    with timing.phase("encode_d8"):
+        if native.available():
+            return native.encode_d8(buf_i16)
+        return _encode_d8_np(buf_i16)
+
+
+def _encode_d8_np(buf_i16: np.ndarray):
+    """numpy reference implementation of the d8 wire encode.
+
     Layout per row: W int8 clipped deltas | exc int32 LE exception
     indices | exc int16 LE corrections | the 16 tail int16 as raw bytes.
     """
@@ -616,6 +636,9 @@ class Basecaller:
         chunk_batch: int = 256,
     ):
         self.cfg = get_model_config(model) if isinstance(model, str) else model
+        # dispatches per compiled packed program (wire observability;
+        # filled at the _dispatch_packed chokepoint)
+        self.dispatch_stats: dict = {}
         if params is None:
             if checkpoint is not None:
                 params = load_npz(checkpoint)
@@ -691,14 +714,15 @@ class Basecaller:
         # (bit-identical to the numpy path), else numpy per read.
         from . import native
 
-        processed = native.preprocess_batch(
-            reads,
-            trim_start=trim_start,
-            trim_end=trim_end,
-            varseg_chunk=varseg_chunk,
-            varseg_thresh=varseg_thresh,
-            delta=delta,
-        )
+        with timing.phase("preprocess"):
+            processed = native.preprocess_batch(
+                reads,
+                trim_start=trim_start,
+                trim_end=trim_end,
+                varseg_chunk=varseg_chunk,
+                varseg_thresh=varseg_thresh,
+                delta=delta,
+            )
         _chaos_corrupt_reads(processed)
         prepped = [(i, rt) for i, rt in enumerate(processed) if rt is not None]
         results: List[Optional[BasecallResult]] = [None] * len(reads)
@@ -726,28 +750,30 @@ class Basecaller:
             lengths = np.zeros(B, np.int32)
             zeros = np.zeros(B, np.int32)
             if _upload_mode() != "f32" and all(_i16_capable(rt) for _, rt in chunk):
-                adc = np.zeros((B, bucket), np.int16)
-                scal = np.zeros((B, 4), F32)
-                scal[:, 3] = 1.0  # pad rows: mad=1 -> exact zero signal
-                for j, (_, rt) in enumerate(chunk):
-                    L = rt.end - rt.start
-                    adc[j, :L] = rt.adc[rt.start : rt.end]
-                    lengths[j] = L
-                    scal[j] = (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
-                buf16 = self.pack_chunk_inputs_i16(adc, lengths, zeros, zeros, scal)
-                if _prefer_d8():
-                    b8 = encode_d8(buf16)
+                with timing.phase("pack"):
+                    adc = np.zeros((B, bucket), np.int16)
+                    scal = np.zeros((B, 4), F32)
+                    scal[:, 3] = 1.0  # pad rows: mad=1 -> exact zero signal
+                    for j, (_, rt) in enumerate(chunk):
+                        L = rt.end - rt.start
+                        adc[j, :L] = rt.adc[rt.start : rt.end]
+                        lengths[j] = L
+                        scal[j] = (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
+                    buf16 = self.pack_chunk_inputs_i16(adc, lengths, zeros, zeros, scal)
+                    b8 = encode_d8(buf16) if _prefer_d8() else None
+                with timing.phase("dispatch"):
                     if b8 is not None:
                         return (chunk, bucket), self.dispatch_packed_batch_d8(b8)
-                return (chunk, bucket), self.dispatch_packed_batch_i16(buf16)
-            sig = np.zeros((B, bucket), F32)
-            for j, (_, rt) in enumerate(chunk):
-                seg = rt.active()
-                sig[j, : seg.size] = seg
-                lengths[j] = seg.size
-            return (chunk, bucket), self.dispatch_packed_batch(
-                self.pack_chunk_inputs(sig, lengths, zeros, zeros)
-            )
+                    return (chunk, bucket), self.dispatch_packed_batch_i16(buf16)
+            with timing.phase("pack"):
+                sig = np.zeros((B, bucket), F32)
+                for j, (_, rt) in enumerate(chunk):
+                    seg = rt.active()
+                    sig[j, : seg.size] = seg
+                    lengths[j] = seg.size
+                buf = self.pack_chunk_inputs(sig, lengths, zeros, zeros)
+            with timing.phase("dispatch"):
+                return (chunk, bucket), self.dispatch_packed_batch(buf)
 
         def _collect(tag, out):
             chunk, bucket = tag
@@ -827,123 +853,78 @@ class Basecaller:
             self.pack_chunk_inputs(signals, lengths, qlo, qhi)
         )
 
-    def dispatch_packed_batch(self, buf):
-        """Packed-I/O dispatch of one legacy (bucketed) batch."""
+    def _dispatch_packed(self, program, buf, G: Optional[int] = None):
+        """The ONE device-dispatch chokepoint for every packed wire
+        (f32/i16/d8 x bucket/chunk x single/grouped).
+
+        Every dispatch_packed_* variant funnels through here, so a
+        subclass that overrides this method (DistributedBasecaller)
+        shards EVERY production wire, not just the f32 ones -- the
+        round-3 `--mesh` hole was per-variant overrides missing the
+        ADC-carrying paths.  ``dispatch_stats`` counts dispatches per
+        compiled program so tests can assert which wire actually ran.
+        """
         _chaos_maybe_fail_dispatch()
-        return _device_basecall_packed(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
+        name = getattr(program, "__name__", str(program))
+        self.dispatch_stats[name] = self.dispatch_stats.get(name, 0) + 1
+        extra = () if G is None else (G,)
+        return program(
+            self.params, jnp.asarray(buf), *extra, self.cfg,
+            self.temperature, self.viterbi_only, self.compute_trace,
             self.rnn_impl,
         )
+
+    def dispatch_packed_batch(self, buf):
+        """Packed-I/O dispatch of one legacy (bucketed) batch."""
+        return self._dispatch_packed(_device_basecall_packed, buf)
 
     def dispatch_packed_batch_i16(self, buf):
         """int16-ADC upload variant of dispatch_packed_batch."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_packed_i16(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
-            self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_packed_i16, buf)
 
     def dispatch_packed_chunk(self, buf):
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
-            self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_chunk_packed, buf)
 
     def dispatch_packed_chunk_i16(self, buf):
         """int16-ADC upload variant of dispatch_packed_chunk."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed_i16(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
-            self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_chunk_packed_i16, buf)
 
     def dispatch_packed_batch_d8(self, buf):
         """delta-int8 upload variant of dispatch_packed_batch (see
         encode_d8)."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_packed_d8(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
-            self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_packed_d8, buf)
 
     def dispatch_packed_chunk_d8(self, buf):
         """delta-int8 upload variant of dispatch_packed_chunk."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed_d8(
-            self.params,
-            jnp.asarray(buf),
-            self.cfg,
-            self.temperature,
-            self.viterbi_only,
-            self.compute_trace,
-            self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_chunk_packed_d8, buf)
 
     def dispatch_packed_chunk_d8_grouped(self, buf, G: int):
         """delta-int8 grouped variant of dispatch_packed_chunk_grouped."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed_d8_grouped(
-            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
-            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        return self._dispatch_packed(
+            _device_basecall_chunk_packed_d8_grouped, buf, G
         )
 
     def dispatch_packed_batch_d8_grouped(self, buf, G: int):
         """delta-int8 grouped variant of dispatch_packed_batch_i16_grouped."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_packed_d8_grouped(
-            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
-            self.viterbi_only, self.compute_trace, self.rnn_impl,
-        )
+        return self._dispatch_packed(_device_basecall_packed_d8_grouped, buf, G)
 
     def dispatch_packed_batch_i16_grouped(self, buf, G: int):
         """Grouped full-read i16 dispatch (G same-bucket batches)."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_packed_i16_grouped(
-            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
-            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        return self._dispatch_packed(
+            _device_basecall_packed_i16_grouped, buf, G
         )
 
     def dispatch_packed_chunk_grouped(self, buf, G: int):
         """G packed chunk batches in one round trip (see
         _device_basecall_chunk_packed_grouped)."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed_grouped(
-            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
-            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        return self._dispatch_packed(
+            _device_basecall_chunk_packed_grouped, buf, G
         )
 
     def dispatch_packed_chunk_i16_grouped(self, buf, G: int):
         """int16-ADC grouped variant of dispatch_packed_chunk_grouped."""
-        _chaos_maybe_fail_dispatch()
-        return _device_basecall_chunk_packed_i16_grouped(
-            self.params, jnp.asarray(buf), G, self.cfg, self.temperature,
-            self.viterbi_only, self.compute_trace, self.rnn_impl,
+        return self._dispatch_packed(
+            _device_basecall_chunk_packed_i16_grouped, buf, G
         )
 
     def unpack_chunk_outputs(self, buf: np.ndarray):
@@ -1023,19 +1004,21 @@ class Basecaller:
             return "f32", self.pack_chunk_inputs(sig, lengths, qlo, qhi)
 
         def _dispatch_one(kind, buf):
-            if kind == "d8":
-                return self.dispatch_packed_chunk_d8(buf)
-            return (self.dispatch_packed_chunk_i16(buf) if kind == "i16"
-                    else self.dispatch_packed_chunk(buf))
+            with timing.phase("dispatch"):
+                if kind == "d8":
+                    return self.dispatch_packed_chunk_d8(buf)
+                return (self.dispatch_packed_chunk_i16(buf) if kind == "i16"
+                        else self.dispatch_packed_chunk(buf))
 
         def _dispatch_grouped(kind, bufs):
-            buf = np.concatenate(bufs, axis=0)
-            g = len(bufs)
-            if kind == "d8":
-                return self.dispatch_packed_chunk_d8_grouped(buf, g)
-            return (self.dispatch_packed_chunk_i16_grouped(buf, g)
-                    if kind == "i16"
-                    else self.dispatch_packed_chunk_grouped(buf, g))
+            with timing.phase("dispatch"):
+                buf = np.concatenate(bufs, axis=0)
+                g = len(bufs)
+                if kind == "d8":
+                    return self.dispatch_packed_chunk_d8_grouped(buf, g)
+                return (self.dispatch_packed_chunk_i16_grouped(buf, g)
+                        if kind == "i16"
+                        else self.dispatch_packed_chunk_grouped(buf, g))
 
         def _finish(i):
             st = state[i]
@@ -1110,7 +1093,8 @@ class Basecaller:
         for ofs in range(0, len(jobs), CB):
             part = jobs[ofs : ofs + CB]
             try:
-                kind, buf = _pack(part)
+                with timing.phase("pack"):
+                    kind, buf = _pack(part)
             except Exception as exc:  # noqa: BLE001 - batch isolation
                 _on_error(part, exc)
                 continue

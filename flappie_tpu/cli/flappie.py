@@ -141,11 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured accuracy band (tools/fast_mode_accuracy.py "
                         "-> docs/ACCURACY_fast_r3.json) instead of being "
                         "bit-exact to the reference")
-    p.add_argument("--qcal", default=None, metavar="slope:offset",
-                   help="Calibrate quality scores post-hoc: q' = "
-                        "slope*q + offset per base (the reference's "
-                        "qualities are explicitly uncalibrated, its "
-                        "README.md:231-234).  Fit the pair with "
+    p.add_argument("--qcal", default=None, metavar="slope:offset|file",
+                   help="Calibrate quality scores post-hoc: either "
+                        "q' = slope*q + offset per base, or the path of "
+                        "a QCAL JSON artifact with per-model isotonic "
+                        "tables (docs/QCAL_r4.json; the entry matching "
+                        "--model applies).  The reference's qualities "
+                        "are explicitly uncalibrated (its "
+                        "README.md:231-234).  Fit with "
                         "tools/qscore_calibrate.py against known-truth "
                         "reads; omit for raw model qualities (the "
                         "byte-parity default)")
@@ -201,15 +204,18 @@ def main(argv=None) -> int:
     if args.format not in OUTFORMATS:
         print(f'Unrecognised output format "{args.format}".', file=sys.stderr)
         return 1
-    assert args.temperature > 0.0
+    if not args.temperature > 0.0:
+        print(f"Invalid temperature {args.temperature} -- must be > 0.",
+              file=sys.stderr)
+        return 1
     qcal = None
     if args.qcal:
-        # validate up front: a malformed pair must fail BEFORE the
+        # validate up front: a malformed pair/file must fail BEFORE the
         # expensive basecalling run, not after it
         from ..qcal import parse_qcal
 
         try:
-            qcal = parse_qcal(args.qcal)
+            qcal = parse_qcal(args.qcal, model=args.model)
         except ValueError as exc:
             parser.error(str(exc))
     if not args.files:
@@ -258,23 +264,26 @@ def main(argv=None) -> int:
 
     out = open(args.output, "w") if args.output else sys.stdout
 
-    reads, names, fnames = [], [], []
-    for fn in files:
-        if args.multi:
-            from ..signal.fast5 import iter_reads
+    from .. import timing
 
-            try:
-                rts = list(iter_reads(fn, scale_to_pA=True))
-            except Exception:
-                rts = []
-            if not rts:
+    reads, names, fnames = [], [], []
+    with timing.phase("fast5_read"):
+        for fn in files:
+            if args.multi:
+                from ..signal.fast5 import iter_reads
+
+                try:
+                    rts = list(iter_reads(fn, scale_to_pA=True))
+                except Exception:
+                    rts = []
+                if not rts:
+                    rts = [read_raw(fn, scale_to_pA=True)]
+            else:
                 rts = [read_raw(fn, scale_to_pA=True)]
-        else:
-            rts = [read_raw(fn, scale_to_pA=True)]
-        for rt in rts:
-            reads.append(rt)
-            names.append(os.path.basename(fn))
-            fnames.append(fn)
+            for rt in rts:
+                reads.append(rt)
+                names.append(os.path.basename(fn))
+                fnames.append(fn)
     if args.limit > 0:
         reads, names, fnames = reads[: args.limit], names[: args.limit], fnames[: args.limit]
 
@@ -302,20 +311,25 @@ def main(argv=None) -> int:
 
     from ..qcal import apply_qcal
 
-    with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
-        for fn, name, res in zip(fnames, names, results):
-            if res is None:
-                print(f"No basecall returned for {fn}", file=sys.stderr)
-                continue
-            res = apply_qcal(res, qcal)
-            out.write(
-                format_read(args.format, res.uuid, name, args.uuid, args.prefix, res)
-            )
-            out.flush()
-            tracer.write(res.uuid if args.uuid else name, res)
+    with timing.phase("format_write"):
+        with TraceWriter(args.trace, args.hdf5_chunk, args.hdf5_compression) as tracer:
+            for fn, name, res in zip(fnames, names, results):
+                if res is None:
+                    print(f"No basecall returned for {fn}", file=sys.stderr)
+                    continue
+                res = apply_qcal(res, qcal)
+                out.write(
+                    format_read(args.format, res.uuid, name, args.uuid, args.prefix, res)
+                )
+                out.flush()
+                tracer.write(res.uuid if args.uuid else name, res)
 
     if out is not sys.stdout:
         out.close()
+    # FLAPPIE_TPU_PHASES=path|stderr: dump the per-phase wall-clock
+    # accounting (fast5 read / preprocess / encode_d8 / pack / dispatch
+    # / collect / format) so any run can account for every second
+    timing.maybe_dump()
     return 0
 
 

@@ -124,7 +124,7 @@ class Server:
         if args.qcal:
             from ..qcal import parse_qcal
 
-            self.qcal = parse_qcal(args.qcal)
+            self.qcal = parse_qcal(args.qcal, model=args.model)
         self.caller = Basecaller(
             model=args.model,
             checkpoint=args.checkpoint,
@@ -204,8 +204,16 @@ class Server:
         out.flush()
         return len(reads), called
 
-    def handle_to_dest(self, request: str) -> tuple[int, int, str]:
-        """Route one request to stdout or an atomic per-request file."""
+    def handle_to_dest(self, request: str, publish_if=None) -> tuple[int, int, str]:
+        """Route one request to stdout or an atomic per-request file.
+
+        ``publish_if(n, called)``, when given, decides AFTER basecalling
+        whether the result file is published at all: a watch-mode
+        attempt that will be retried must never rename its tmp file to
+        the final name, or a downstream consumer triggered by file
+        appearance would ingest an empty result that is silently
+        replaced later.  Unpublished attempts return dest=None.
+        """
         a = self.args
         if not a.output_dir:
             n, called = self.handle(request, sys.stdout)
@@ -226,6 +234,9 @@ class Server:
         try:
             with open(tmp, "w") as out:
                 n, called = self.handle(request, out)
+            if publish_if is not None and not publish_if(n, called):
+                os.unlink(tmp)
+                return n, called, None
             os.replace(tmp, dest)  # atomic: watchers never see partial files
         except BaseException:
             try:
@@ -304,9 +315,11 @@ def serve_watch(server: Server) -> int:
         except FileNotFoundError:
             _ack(f"watch directory {a.watch} vanished; stopping")
             return 1
+        current = set()
         path_stats = []
         for fn in listing:
             path = os.path.join(a.watch, fn)
+            current.add(path)
             if path in seen:
                 continue
             try:
@@ -314,11 +327,32 @@ def serve_watch(server: Server) -> int:
             except OSError:
                 continue  # raced with a rename/delete; next poll decides
             path_stats.append((path, (st.st_size, st.st_mtime_ns)))
+        # multi-day runs must not grow state without bound: files that
+        # left the directory need no memory (a re-appearing same name is
+        # a new file and is correctly re-processed)
+        seen &= current
+        for stale in [p for p in pending if p not in current]:
+            del pending[stale]
+        for stale in [p for p in retries if p not in current]:
+            del retries[stale]
+        for stale in [d for d, req in server._dest_owner.items()
+                      if req.startswith(a.watch + os.sep) and req not in current]:
+            del server._dest_owner[stale]
         new = watch_scan(path_stats, seen, pending, time.monotonic(), a.poll)
         for path in new:
             t0 = time.monotonic()
+            # the retry decision is made BEFORE publishing: an attempt
+            # that will be retried never renames its tmp file, so
+            # appearance-triggered consumers never see an empty result
+            will_retry = (
+                lambda n_, c_: not (
+                    c_ == 0 and retries.get(path, 0) < MAX_WATCH_RETRIES
+                )
+            )
             try:
-                n, called, dest = server.handle_to_dest(path)
+                n, called, dest = server.handle_to_dest(
+                    path, publish_if=will_retry
+                )
             except Exception as exc:  # noqa: BLE001
                 _ack(f"error {path} ({exc})")
                 continue
@@ -334,7 +368,7 @@ def serve_watch(server: Server) -> int:
                 continue
             _ack(f"done {path} reads={n} called={called} "
                  f"wall={time.monotonic() - t0:.2f}s"
-                 + (f" output={dest}" if dest != "-" else ""))
+                 + (f" output={dest}" if dest not in ("-", None) else ""))
         if not new:
             time.sleep(a.poll)
 
@@ -363,7 +397,7 @@ def main(argv=None) -> int:
         from ..qcal import parse_qcal
 
         try:
-            parse_qcal(args.qcal)
+            parse_qcal(args.qcal, model=args.model)
         except ValueError as exc:
             parser.error(str(exc))
     if args.fast:

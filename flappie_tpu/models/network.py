@@ -130,7 +130,11 @@ def conv_stack(params, cfg: ModelConfig, x, lengths):
 
 
 def _resolve_impl(impl: str) -> str:
-    if impl == "auto":
+    # "train" = the differentiable production path: fused Pallas layers
+    # with their custom VJP on TPU (ops/rnn_vjp.py), lax.scan elsewhere;
+    # the head partition scan stays on the scan impl either way (the
+    # Pallas decode kernels are inference-only)
+    if impl in ("auto", "train"):
         import jax
 
         return "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -149,12 +153,18 @@ def _rnn_stack_fused_tm(params, cfg: ModelConfig, x, lengths):
     gathers and the mask pass per backward layer that cost ~30 ms per
     [128, 12800] chunk batch in round 2.
     """
+    from ..ops import rnn_vjp
+
     x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, C]
     for i, r in enumerate(cfg.rnns):
         p = params[f"rnn{i}"]
+        # the AD wrappers ARE the kernels under inference (custom_vjp's
+        # primal is the rnn_pallas layer); under jax.grad the
+        # recompute-gates adjoint applies (ops/rnn_vjp.py), so training
+        # runs the fused kernels too (round-3 verdict item #4)
         fn = {
-            "lstm": rnn_pallas.lstm_layer_tm,
-            "grumod": rnn_pallas.grumod_layer_tm,
+            "lstm": rnn_vjp.lstm_layer_tm_ad,
+            "grumod": rnn_vjp.grumod_layer_tm_ad,
         }[r.kind]
         x_tm = fn(x_tm, p["iW"], p["b"], p["sW"],
                   backward=r.backward, lengths=lengths)
@@ -214,10 +224,12 @@ def transitions(params, cfg: ModelConfig, signal, lengths, temperature=1.0, rnn_
     x, nblocks = conv_stack(params, cfg, signal, lengths)
     x = rnn_stack(params, cfg, x, nblocks, rnn_impl)
     W, b = params["ff"]["W"], params["ff"]["b"]
-    # rnn_impl="scan" is the differentiable path (training losses):
-    # the head's partition scan must avoid the inference-only Pallas
-    # decode kernels too, or jax.grad breaks on TPU (no JVP rule).
-    head_impl = "scan" if rnn_impl == "scan" else None
+    # rnn_impl "scan"/"train" are the differentiable paths (training
+    # losses): the head's partition scan must avoid the inference-only
+    # Pallas decode kernels, or jax.grad breaks on TPU (no JVP rule).
+    # The recurrent layers themselves ARE differentiable on the pallas
+    # path (custom VJP, ops/rnn_vjp.py).
+    head_impl = "scan" if rnn_impl in ("scan", "train") else None
     if cfg.head == "flipflop":
         if return_norm:
             out, shift, incs = globalnorm_flipflop(

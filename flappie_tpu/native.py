@@ -52,8 +52,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "ft_preprocess_batch2"):
-        # stale pre-v2 build on disk: rebuild and reload once
+    if not hasattr(lib, "ft_encode_d8"):
+        # stale pre-v3 build on disk: rebuild and reload once
         del lib
         if not (_build() and os.path.exists(_LIB_PATH)):
             return None
@@ -61,7 +61,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "ft_preprocess_batch2"):
+        if not hasattr(lib, "ft_encode_d8"):
             return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -82,6 +82,11 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_float, i64p, i64p, f32p, f32p, ctypes.c_int32,
     ]
     lib.ft_scale_to_pA.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    lib.ft_encode_d8.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+    ]
+    lib.ft_encode_d8.restype = ctypes.c_int32
     lib.ft_version.restype = ctypes.c_int32
     _lib = lib
     return _lib
@@ -175,3 +180,30 @@ def preprocess_batch(
             norm=(meds[j], mads[j]) if delta == 0.0 and mads[j] != 0.0 else None,
         )
     return out
+
+
+def encode_d8(buf_i16: np.ndarray, nthreads: int = 0):
+    """Native d8 wire encode (ft_encode_d8): bit-identical to
+    basecall._encode_d8_np, rows in parallel on the thread pool.
+
+    Returns the [B, W + 6*exc + 32] int8 wire buffer, or None when any
+    row blows the exception budget (caller falls back to the i16 wire).
+    Raises RuntimeError if the native library is unavailable -- callers
+    gate on available() or use basecall.encode_d8 (which falls back to
+    the numpy encoder transparently).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.ascontiguousarray(buf_i16, np.int16)
+    B, Wt = buf.shape
+    W = Wt - 16
+    exc = (W + 63) // 64
+    out = np.empty((B, W + 6 * exc + 32), np.int8)
+    rc = lib.ft_encode_d8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(B), ctypes.c_int64(Wt),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int32(nthreads),
+    )
+    return None if rc else out

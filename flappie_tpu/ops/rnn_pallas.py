@@ -264,6 +264,50 @@ def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, 
     c_ref[:] = c
 
 
+def _lstm_fused_train_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, cout_ref, h_ref, c_ref, xa_ref):
+    """_lstm_fused_kernel plus a second output: the carried cell state
+    (zeroed at invalid steps, like h).  The custom-VJP backward
+    (ops/rnn_vjp.py) needs c_{t-1} per step to recompute the gates; it
+    is the one sequence the adjoint cannot rebuild without re-running
+    the recurrence.  Training-path only -- inference never pays the
+    extra [T, B, H] HBM write."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    H = h_ref.shape[-1]
+    K, B, IN = x_ref.shape
+    g = (pl.num_programs(0) - 1 - t) if backward else t
+    lens = len_ref[:]
+    sw = sw_ref[:]
+    rdot = _make_rdot(rnnprec, sw)
+    xa_ref[:] = (
+        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
+    ).reshape(K, B, 4 * H).astype(xa_ref.dtype)
+
+    def step(k, carry):
+        h, c = carry
+        kk = (K - 1 - k) if backward else k
+        valid = (g * K + kk) < lens
+        xF = xa_ref[kk].astype(jnp.float32) + rdot(h)
+        u = jax.nn.sigmoid(xF[:, :H])
+        f = jax.nn.sigmoid(xF[:, H : 2 * H])
+        gg = jnp.tanh(xF[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(xF[:, 3 * H :])
+        c2 = f * c + u * gg
+        h2 = o * jnp.tanh(c2)
+        out_ref[kk] = jnp.where(valid, h2, 0.0).astype(out_ref.dtype)
+        cout_ref[kk] = jnp.where(valid, c2, 0.0).astype(cout_ref.dtype)
+        return jnp.where(valid, h2, h), jnp.where(valid, c2, c)
+
+    h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
+    h_ref[:] = h
+    c_ref[:] = c
+
+
 def _grumod_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, xa_ref):
     t = pl.program_id(0)
 
@@ -464,7 +508,8 @@ def _dual_enabled(B: int) -> bool:
 
 
 def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
-               backward: bool = False, lengths=None, dual_kernel=None):
+               backward: bool = False, lengths=None, dual_kernel=None,
+               want_c: bool = False):
     """x_tm: [T, B, IN] (time-major) -> [T, B, H].
 
     ``backward`` runs the recurrence from each read's end (grid and
@@ -472,6 +517,8 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
     ``lengths`` ([B] int32, default all-T) gates state updates and
     zeroes outputs at padded steps, so no host-side reversal gathers or
     tail masking are needed around the kernel.
+    ``want_c`` (training path): the kernel writes a second [T, B, H]
+    output (the carried cell state) and this returns (h, c).
     """
     from .precision import ff_precision, rnn_precision
 
@@ -506,12 +553,14 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
 
     N = Tpad // K
     tmap = (lambda t: (N - 1 - t, 0, 0)) if backward else (lambda t: (t, 0, 0))
-    if dual_kernel is not None and _dual_enabled(B):
+    if dual_kernel is not None and not want_c and _dual_enabled(B):
         kernel = dual_kernel
         scratch = [pltpu.VMEM((2, B // 2, H), jnp.float32) for _ in range(carries)]
     else:
         scratch = [pltpu.VMEM((B, H), jnp.float32) for _ in range(carries)]
     scratch.append(pltpu.VMEM((K, B, GH), xa_dtype))  # block affine
+    out_spec = pl.BlockSpec((K, B, H), tmap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Tpad, B, H), xa_dtype)
     out = pl.pallas_call(
         functools.partial(kernel, ffprec, rnnprec, backward),
         grid=(N,),
@@ -522,11 +571,13 @@ def _run_fused(kernel, x_tm, iW, b, sW, gates: int, carries: int, interpret,
             pl.BlockSpec((H, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((K, B, H), tmap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tpad, B, H), xa_dtype),
+        out_specs=[out_spec, out_spec] if want_c else out_spec,
+        out_shape=[out_shape, out_shape] if want_c else out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(x_tm, iW, b, sW, lens)
+    if want_c:
+        return out[0][:T], out[1][:T]
     return out[:T]
 
 
@@ -549,3 +600,11 @@ def grumod_layer_tm(x_tm, iW, b, sW, interpret=None, backward=False, lengths=Non
     """Fused input-affine + GRU-mod recurrence, time-major in/out."""
     return _run_fused(_grumod_fused_kernel, x_tm, iW, b, sW, 3, 1, interpret,
                       backward, lengths, dual_kernel=_grumod_fused_dual_kernel)
+
+
+def lstm_layer_tm_train(x_tm, iW, b, sW, interpret=None, backward=False, lengths=None):
+    """lstm_layer_tm variant returning (h_seq, c_seq) -- the training
+    forward (custom-VJP residuals, ops/rnn_vjp.py).  Same math as
+    lstm_layer_tm; the extra output is the carried cell state."""
+    return _run_fused(_lstm_fused_train_kernel, x_tm, iW, b, sW, 4, 2,
+                      interpret, backward, lengths, want_c=True)

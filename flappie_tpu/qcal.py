@@ -99,6 +99,45 @@ def calibration_error(table: CalibrationTable, a: float = 1.0, b: float = 0.0) -
     return float((w * np.abs(table.q_emp - pred)).sum() / w.sum())
 
 
+def fit_isotonic(table: CalibrationTable, qmax: int = MAX_QCHAR - PHRED_OFFSET) -> np.ndarray:
+    """Count-weighted isotonic (PAVA) fit of q_emp as a nondecreasing
+    function of predicted phred, expanded to an int LUT over [0, qmax].
+
+    A monotone remap cannot reorder base confidences (a linear fit can,
+    on degenerate data), and the LUT is clamped so every emitted char
+    stays inside the reference's phred char range (phredf caps at 126,
+    src/util.h:285-313).  Predicted scores between observed bins are
+    linearly interpolated; beyond the observed range the end values
+    extend flat.
+    """
+    q = np.asarray(table.q, np.float64)
+    y = np.asarray(table.q_emp, np.float64)
+    w = np.asarray(table.n, np.float64)
+    if q.size == 0:
+        return np.arange(qmax + 1)
+    # pool adjacent violators: stack of [value, weight, count]
+    stack: list[list[float]] = []
+    for yi, wi in zip(y, w):
+        stack.append([float(yi), float(wi), 1.0])
+        while len(stack) > 1 and stack[-2][0] > stack[-1][0]:
+            y2, w2, c2 = stack.pop()
+            y1, w1, c1 = stack.pop()
+            stack.append([(y1 * w1 + y2 * w2) / (w1 + w2), w1 + w2, c1 + c2])
+    fitted = np.concatenate(
+        [np.full(int(c), v) for v, _w, c in stack]
+    )
+    lut = np.interp(np.arange(qmax + 1, dtype=np.float64), q, fitted)
+    return np.clip(np.rint(lut), 0, qmax).astype(np.int32)
+
+
+def apply_calibration_lut(quality: str, lut) -> str:
+    """Remap a phred+33 quality string through an int LUT (fit_isotonic)."""
+    lut = np.asarray(lut)
+    q = np.clip(phred_from_qstring(quality), 0, lut.size - 1)
+    q2 = np.clip(lut[q], 0, MAX_QCHAR - PHRED_OFFSET).astype(np.uint8)
+    return (q2 + PHRED_OFFSET).tobytes().decode()
+
+
 def apply_calibration(quality: str, a: float, b: float) -> str:
     """Remap a phred+33 quality string by q' = round(a*q + b).
 
@@ -113,8 +152,9 @@ def apply_calibration(quality: str, a: float, b: float) -> str:
     return (q2 + PHRED_OFFSET).tobytes().decode()
 
 
-def apply_qcal(res, qcal: "tuple[float, float] | None"):
-    """Remap a BasecallResult's quality by a parsed --qcal pair.
+def apply_qcal(res, qcal):
+    """Remap a BasecallResult's quality by a parsed --qcal calibration:
+    either a (slope, offset) pair or an isotonic LUT (ndarray/list).
 
     Shared by the one-shot CLI and flappie-serve so the two surfaces
     cannot drift.  No-op (returns ``res`` itself) when ``qcal`` is None
@@ -124,14 +164,62 @@ def apply_qcal(res, qcal: "tuple[float, float] | None"):
         return res
     import dataclasses
 
-    return dataclasses.replace(
-        res, quality=apply_calibration(res.quality, *qcal)
-    )
+    if isinstance(qcal, tuple):
+        quality = apply_calibration(res.quality, *qcal)
+    else:
+        quality = apply_calibration_lut(res.quality, qcal)
+    return dataclasses.replace(res, quality=quality)
 
 
-def parse_qcal(arg: str) -> tuple[float, float]:
-    """CLI ``--qcal a:b`` (slope:offset)."""
+def load_qcal_file(path: str, model: str):
+    """Load a per-model calibration from a QCAL artifact (the JSON
+    tools/qscore_calibrate.py writes: {"models": {name: {"lut": [...],
+    "fit": {"slope": a, "offset": b}}}}).
+
+    Prefers the isotonic LUT; falls back to the linear pair.  Raises
+    ValueError when the file carries no entry for ``model``.
+    """
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    models = doc.get("models", {})
+    ent = models.get(model)
+    if ent is None:
+        raise ValueError(
+            f"--qcal file {path!r} has no calibration for model "
+            f"{model!r} (has: {sorted(models)})"
+        )
+    if "lut" in ent:
+        return np.asarray(ent["lut"], np.int32)
+    fit = ent.get("fit", {})
+    return float(fit["slope"]), float(fit["offset"])
+
+
+def parse_qcal(arg: str, model: str | None = None):
+    """CLI ``--qcal`` value: either ``a:b`` (slope:offset) or the path
+    of a QCAL JSON artifact carrying per-model isotonic tables (then
+    ``model`` selects the entry).
+
+    Non-numeric or non-finite parts raise a ValueError that names the
+    expected form (not a bare float() conversion message)."""
+    import os
+
+    if os.path.isfile(arg):
+        return load_qcal_file(arg, model or "r941_native")
     parts = arg.split(":")
     if len(parts) != 2:
-        raise ValueError("--qcal should be of form slope:offset")
-    return float(parts[0]), float(parts[1])
+        raise ValueError(
+            "--qcal should be of form slope:offset or a QCAL JSON file"
+        )
+    try:
+        a, b = float(parts[0]), float(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"--qcal should be of form slope:offset (got {arg!r})"
+        ) from None
+    if not (np.isfinite(a) and np.isfinite(b)):
+        raise ValueError(
+            f"--qcal slope and offset must be finite (got {arg!r})"
+        )
+    return a, b

@@ -32,14 +32,20 @@ from ..models.network import transitions
 from ..ops.crf import path_score
 
 
-def nll_loss(params, cfg: ModelConfig, signal, lengths, target_path):
+def nll_loss(params, cfg: ModelConfig, signal, lengths, target_path,
+             rnn_impl: str = "train"):
     """signal [B,T], lengths [B], target_path [B, T//stride + 1] int32.
 
-    Uses the lax.scan recurrence explicitly: the fused Pallas kernels
-    are inference-only (no VJP rule), and XLA differentiates the scan
-    path end to end on any backend.
+    ``rnn_impl="train"`` is the differentiable production path: on TPU
+    the fused Pallas recurrent kernels run forward and their custom VJP
+    (recompute-gates adjoint, ops/rnn_vjp.py) runs backward, so
+    training is no longer forced onto lax.scan speed; on CPU it
+    resolves to the scan path XLA differentiates end to end.  Pass
+    ``rnn_impl="scan"`` for the scan-everywhere reference gradients.
     """
-    trans, nblocks = transitions(params, cfg, signal, lengths, rnn_impl="scan")
+    trans, nblocks = transitions(
+        params, cfg, signal, lengths, rnn_impl=rnn_impl
+    )
     score = path_score(trans, target_path, nblocks, cfg.nbase)
     return -jnp.mean(score / nblocks.astype(trans.dtype))
 

@@ -190,6 +190,77 @@ void ft_scale_to_pA(float* x, int64_t n, float offset, float range,
     for (int64_t i = 0; i < n; ++i) x[i] = (x[i] + offset) * raw_unit;
 }
 
-int32_t ft_version(void) { return 2; }
+// delta-int8 ("d8") upload encode: the native counterpart of
+// flappie_tpu.basecall.encode_d8 (bit-identical output layout).
+//
+// In:  buf  [B, Wt] int16 rows in the pack_chunk_inputs_i16 layout
+//      (W = Wt - 16 ADC samples + 16 tail int16).
+// Out: out  [B, W + 6*exc + 32] int8 rows, exc = ceil(W/64):
+//      W clipped deltas | exc int32 LE exception indices | exc int16 LE
+//      corrections | the 16 tail int16 as raw bytes.
+// Returns 0 on success; 1 if ANY row needs more than exc exception
+// slots or a correction exceeds int16 (caller ships the i16 wire
+// instead -- all-or-nothing per batch, matching the Python encoder).
+//
+// This is the host-side O(B*W) pass that showed up as a single-core
+// bottleneck in the round-3 soak; rows encode on the thread pool.
+int32_t ft_encode_d8(const int16_t* buf, int64_t B, int64_t Wt,
+                     int8_t* out, int32_t nthreads) {
+    const int64_t W = Wt - 16;
+    const int64_t exc = (W + 63) / 64;
+    const int64_t out_w = W + 6 * exc + 32;
+    if (nthreads <= 0) {
+        nthreads = (int32_t)std::thread::hardware_concurrency();
+        if (nthreads <= 0) nthreads = 1;
+    }
+    std::atomic<int64_t> next(0);
+    std::atomic<bool> failed(false);
+    auto worker = [&]() {
+        std::vector<int32_t> idx((size_t)exc);
+        std::vector<int16_t> corr((size_t)exc);
+        for (;;) {
+            if (failed.load(std::memory_order_relaxed)) return;
+            const int64_t i = next.fetch_add(1);
+            if (i >= B) return;
+            const int16_t* row = buf + i * Wt;
+            int8_t* o = out + i * out_w;
+            int64_t nexc = 0;
+            int32_t prev = 0;
+            for (int64_t j = 0; j < W; ++j) {
+                const int32_t d = (int32_t)row[j] - prev;
+                const int32_t s = d < -128 ? -128 : (d > 127 ? 127 : d);
+                o[j] = (int8_t)s;
+                const int32_t e = d - s;
+                if (e != 0) {
+                    if (nexc == exc || e < -32767 || e > 32767) {
+                        failed.store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    idx[(size_t)nexc] = (int32_t)j;
+                    corr[(size_t)nexc] = (int16_t)e;
+                    ++nexc;
+                }
+                prev = (int32_t)row[j];
+            }
+            for (; nexc < exc; ++nexc) {
+                idx[(size_t)nexc] = (int32_t)W;  // unused: out of range
+                corr[(size_t)nexc] = 0;
+            }
+            // unaligned destinations: memcpy (little-endian layout, the
+            // exact bytes numpy's .view(np.int8) produces)
+            std::memcpy(o + W, idx.data(), (size_t)(4 * exc));
+            std::memcpy(o + W + 4 * exc, corr.data(), (size_t)(2 * exc));
+            std::memcpy(o + W + 6 * exc, row + W, 32);
+        }
+    };
+    std::vector<std::thread> pool;
+    const int32_t nt = (int32_t)std::min<int64_t>(nthreads, B > 0 ? B : 1);
+    pool.reserve((size_t)nt);
+    for (int32_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return failed.load() ? 1 : 0;
+}
+
+int32_t ft_version(void) { return 3; }
 
 }  // extern "C"

@@ -1,0 +1,161 @@
+"""--mesh must shard EVERY production wire (round-3 verdict, weak #1).
+
+The round-3 hole: DistributedBasecaller overrode only the two f32
+packed dispatches, so ADC-carrying reads -- the production wire on real
+fast5 input: i16/d8 uploads plus the grouped chunk dispatches --
+silently ran single-device under ``--mesh``.  All dispatches now funnel
+through one ``_dispatch_packed`` chokepoint that the distributed
+subclass overrides once.
+
+These tests drive ``basecall_raw_tables`` with ADC-carrying reads over
+every wire format and assert BOTH output identity with the
+single-device Basecaller AND, via ``DistributedBasecaller.wire_log``,
+that each dispatched buffer's sharding actually spanned the data axis
+with the expected dtype/program -- so the trivial-pass failure mode
+(both runs silently unsharded, identity holds vacuously) is impossible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flappie_tpu.basecall import Basecaller
+from flappie_tpu.io.crp import read_crp
+from flappie_tpu.models.params import init_synthetic
+from flappie_tpu.parallel.mesh import make_mesh
+from flappie_tpu.parallel.pipeline import DistributedBasecaller
+from flappie_tpu.signal.preprocess import F32, RawTable
+
+from tests.ref_harness.parity_models import _shrink
+
+FIXTURE = "/root/reference/src/test/raw_signal.crp"
+OFFSET, RAW_UNIT = F32(16.0), F32(1373.41) / F32(8192.0)
+N_DATA = 4  # of the 8 virtual CPU devices
+
+
+@pytest.fixture(scope="module")
+def adc():
+    return read_crp(FIXTURE).reshape(-1).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = _shrink("r941_native")
+    return cfg, init_synthetic(cfg, seed=77)
+
+
+def _adc_read(adc, T, k):
+    row = np.tile(adc, int(np.ceil(T / adc.size)))[:T]
+    raw = (row.astype(F32) + OFFSET) * RAW_UNIT
+    return RawTable(
+        uuid=f"mesh-read-{k}", n=T, start=0, end=T, raw=raw,
+        adc=row.copy(), cal=(OFFSET, RAW_UNIT),
+    )
+
+
+def _reads(adc):
+    # three short reads (bucket path) + two long ones (chunked path);
+    # lengths deliberately not multiples of the mesh size so filler
+    # rows are exercised
+    return [
+        _adc_read(adc, T, k)
+        for k, T in enumerate([2600, 2900, 3100, 9500, 12000])
+    ]
+
+
+def _caller_kw(cfg, params):
+    return dict(
+        model=cfg, params=params, chunk=3000, overlap=800,
+        chunk_batch=4, compute_trace=False,
+    )
+
+
+def _results(caller, reads):
+    out = caller.basecall_raw_tables(reads, trim_start=50, trim_end=10)
+    assert all(r is not None for r in out)
+    return [(r.basecall, r.quality, round(r.score, 5)) for r in out]
+
+
+WIRES = [
+    # (upload mode, dispatch group, dtype expected on the wire)
+    ("i16", 1, "int16"),
+    ("d8", 1, "int8"),
+    ("d8", 2, "int8"),
+    ("f32", 1, "float32"),
+]
+
+
+@pytest.mark.parametrize("upload,group,want_dtype", WIRES)
+def test_mesh_wires_sharded_and_identical(
+    monkeypatch, adc, cfg_params, upload, group, want_dtype
+):
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD", upload)
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", str(group))
+    cfg, params = cfg_params
+    reads = _reads(adc)
+
+    single = Basecaller(**_caller_kw(cfg, params))
+    base = _results(single, reads)
+    # the single-device run must itself have taken the wire under test
+    # (else this whole test is vacuous)
+    stats = single.dispatch_stats
+    if want_dtype == "int16":
+        assert any("i16" in k for k in stats), stats
+    elif want_dtype == "int8":
+        assert any("d8" in k for k in stats), stats
+    else:
+        assert stats and all(
+            "i16" not in k and "d8" not in k for k in stats
+        ), stats
+
+    mesh = make_mesh(n_data=N_DATA, n_model=1)
+    dist = DistributedBasecaller(mesh=mesh, **_caller_kw(cfg, params))
+    got = _results(dist, reads)
+
+    assert got == base
+
+    # (b) the sharding assertions: every dispatch span the data axis
+    log = list(dist.wire_log)
+    assert log, "no dispatches recorded"
+    for rec in log:
+        assert rec["devices"] == N_DATA, rec
+        assert rec["rows"] % N_DATA == 0, rec
+        assert rec["shard_rows"] * N_DATA == rec["rows"], rec
+    # the wire under test is what actually shipped
+    assert {rec["dtype"] for rec in log} == {want_dtype}, log
+    if group > 1:
+        assert any("grouped" in rec["program"] for rec in log), log
+    # every dispatch went through the chokepoint (counts line up)
+    assert sum(dist.dispatch_stats.values()) == len(log)
+
+
+def test_mesh_d8_fallback_rows_stay_sharded(monkeypatch, adc, cfg_params):
+    """Hostile signal (i16 fallback inside d8 mode) still shards."""
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD", "d8")
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", "1")
+    cfg, params = cfg_params
+    reads = _reads(adc)
+    # make one short read hostile to d8: real signal plus a period-8
+    # square wave, so every 4th delta is +-400 (>> int8) and the
+    # exception budget (ceil(W/64) slots) blows -- encode_d8 returns
+    # None and the batch falls back to the i16 wire -- while the
+    # signal statistics stay realistic enough to survive MAD trim
+    hostile = reads[0]
+    wave = np.where((np.arange(hostile.n) // 4) % 2 == 0, 200, -200)
+    hostile.adc[: hostile.n] = (
+        hostile.adc[: hostile.n].astype(np.int32) + wave
+    ).astype(np.int16)
+    hostile.raw[:] = (hostile.adc.astype(F32) + OFFSET) * RAW_UNIT
+
+    single = Basecaller(**_caller_kw(cfg, params))
+    base = _results(single, reads)
+    dist = DistributedBasecaller(
+        mesh=make_mesh(n_data=N_DATA, n_model=1), **_caller_kw(cfg, params)
+    )
+    got = _results(dist, reads)
+    assert got == base
+    dtypes = {rec["dtype"] for rec in dist.wire_log}
+    assert "int16" in dtypes  # the fallback fired
+    for rec in dist.wire_log:
+        assert rec["devices"] == N_DATA

@@ -99,3 +99,43 @@ def test_preprocess_batch_does_not_mutate_inputs_and_honours_window():
     assert (a.n, a.start, a.end) == (b.n, b.start, b.end)
     assert 5000 <= a.start < a.end <= 20000
     np.testing.assert_array_equal(a.active(), b.active())
+
+
+def test_native_encode_d8_bit_identical_and_fallback():
+    """ft_encode_d8 == the numpy reference encoder bit for bit on real
+    fixture ADC at several widths (exceptions included), and both agree
+    on the budget-blown -> None fallback."""
+    import numpy as np
+
+    from flappie_tpu import native
+    from flappie_tpu.basecall import Basecaller, _encode_d8_np
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    from flappie_tpu.io.crp import read_crp
+
+    adc = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    adc = adc.astype(np.int16)
+    z4 = np.array([16.0, 0.17, 100.0, 7.0], np.float32)
+    for W in (2048, 4096, 12800):
+        B = 7
+        rows = np.stack([np.tile(adc, 8)[i * 131 : i * 131 + W] for i in range(B)])
+        lengths = np.array([W, W - 1, W // 2, 5, W, W - 300, 17], np.int32)
+        for j, L in enumerate(lengths):
+            rows[j, L:] = 0
+        z = np.zeros(B, np.int32)
+        buf = Basecaller.pack_chunk_inputs_i16(
+            rows, lengths, z, z, np.tile(z4, (B, 1))
+        )
+        a = _encode_d8_np(buf)
+        b = native.encode_d8(buf)
+        assert a is not None and b is not None
+        assert a.shape == b.shape and (a == b).all(), f"W={W}"
+        hostile = rows.astype(np.int32)
+        hostile[0] += np.where((np.arange(W) // 4) % 2 == 0, 200, -200)
+        bufh = Basecaller.pack_chunk_inputs_i16(
+            hostile.astype(np.int16), lengths, z, z, np.tile(z4, (B, 1))
+        )
+        assert _encode_d8_np(bufh) is None and native.encode_d8(bufh) is None

@@ -98,3 +98,84 @@ def test_cli_qcal_shifts_only_quality(tmp_path):
     assert b[0] == c[0] and b[1] == c[1] and b[2] == c[2]  # header/seq/+
     qb, qc = phred_from_qstring(b[3]), phred_from_qstring(c[3])
     assert np.all(qc == np.clip(qb + 3, 0, 93))
+
+
+def test_parse_qcal_rejects_garbage_with_usage_message():
+    """Non-numeric and non-finite pairs raise ValueError naming the
+    expected slope:offset form (ADVICE r3)."""
+    import math
+
+    import pytest
+
+    for bad in ("a:b", "1.0:x", "nan:0", "1:inf", "1.0", "1:2:3"):
+        with pytest.raises(ValueError, match="slope"):
+            parse_qcal(bad)
+    assert parse_qcal("0.9:0.5") == (0.9, 0.5)
+
+
+def test_fit_isotonic_pava_and_lut():
+    """PAVA pools violators (count-weighted) and the LUT is monotone,
+    clamped, and interpolates between observed bins."""
+    import numpy as np
+
+    from flappie_tpu.qcal import CalibrationTable, fit_isotonic
+
+    # bins at q=10,20,30 with an inversion at 20 (low-count outlier)
+    t = CalibrationTable(
+        q=np.array([10, 20, 30]),
+        n=np.array([100, 10, 100]),
+        n_err=np.array([0, 0, 0]),
+        q_emp=np.array([12.0, 8.0, 25.0]),
+    )
+    lut = fit_isotonic(t)
+    assert lut.shape == (94,)
+    assert np.all(np.diff(lut) >= 0)
+    # the q=20 violator pools with q=10 (weighted mean ~11.6)
+    assert lut[10] == lut[20] == round((12.0 * 100 + 8.0 * 10) / 110)
+    assert lut[30] == 25
+    # flat extension beyond the observed range; clamped to char range
+    assert lut[0] == lut[10] and lut[93] == 25
+    assert lut.min() >= 0 and lut.max() <= 93
+
+
+def test_apply_calibration_lut_roundtrip():
+    import numpy as np
+
+    from flappie_tpu.qcal import apply_calibration_lut, phred_from_qstring
+
+    lut = np.arange(94) * 2  # doubling map, clamped at 93 on apply
+    qual = "".join(chr(q + 33) for q in (0, 10, 40, 60))
+    got = phred_from_qstring(apply_calibration_lut(qual, lut))
+    assert got.tolist() == [0, 20, 80, 93]
+
+
+def test_parse_qcal_file_selects_model(tmp_path):
+    import json
+
+    import numpy as np
+    import pytest
+
+    from flappie_tpu.qcal import apply_qcal, parse_qcal
+
+    doc = {"models": {
+        "r941_native": {"lut": list(range(94)), "fit": {"slope": 1, "offset": 0}},
+        "r103_native": {"fit": {"slope": 0.9, "offset": 2.0}},
+    }}
+    p = tmp_path / "qcal.json"
+    p.write_text(json.dumps(doc))
+    lut = parse_qcal(str(p), model="r941_native")
+    assert isinstance(lut, np.ndarray) and lut[5] == 5
+    pair = parse_qcal(str(p), model="r103_native")
+    assert pair == (0.9, 2.0)
+    with pytest.raises(ValueError, match="no calibration"):
+        parse_qcal(str(p), model="r941_5mC")
+
+    # apply_qcal handles both forms
+    import dataclasses
+
+    @dataclasses.dataclass
+    class R:
+        quality: str
+
+    assert apply_qcal(R("IIII"), lut).quality == "IIII"
+    assert apply_qcal(R("IIII"), (1.0, 0.0)).quality == "IIII"

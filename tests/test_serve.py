@@ -218,3 +218,49 @@ def test_serve_rejects_bad_model():
     )
     assert proc.returncode == 1
     assert "Invalid Flappie model" in proc.stdout
+
+
+def test_handle_to_dest_defers_publish_on_retry(tmp_path):
+    """A zero-read attempt that WILL be retried must never publish its
+    output file (ADVICE r3: appearance-triggered consumers must not
+    ingest an empty result that is silently replaced by the retry)."""
+    from flappie_tpu.cli.serve import Server
+
+    srv = Server.__new__(Server)
+    srv._dest_owner = {}
+
+    class A:
+        output_dir = str(tmp_path)
+        format = "fastq"
+
+    srv.args = A()
+
+    def empty_handle(request, out):
+        out.write("")  # zero reads called
+        return 1, 0
+
+    srv.handle = empty_handle
+    n, called, dest = srv.handle_to_dest(
+        "/run/x.fast5", publish_if=lambda n_, c_: c_ > 0
+    )
+    assert (n, called, dest) == (1, 0, None)
+    assert list(tmp_path.iterdir()) == []  # nothing published, no tmp
+
+    def good_handle(request, out):
+        out.write("rec\n")
+        return 1, 1
+
+    srv.handle = good_handle
+    n, called, dest = srv.handle_to_dest(
+        "/run/x.fast5", publish_if=lambda n_, c_: c_ > 0
+    )
+    assert called == 1 and dest is not None and os.path.exists(dest)
+
+
+def test_flappie_rejects_bad_temperature(tmp_path):
+    """--temperature <= 0 is a user-facing error (not an assert that
+    python -O strips)."""
+    from flappie_tpu.cli import flappie as cli
+
+    rc = cli.main(["--temperature", "0", str(tmp_path / "missing.fast5")])
+    assert rc == 1

@@ -187,3 +187,88 @@ def test_grad_works_with_crf_kernels_enabled(tiny_cfg, monkeypatch):
     p, s, loss = train_step(p, s, sig, lens, states,
                             jnp.asarray(tlen, jnp.int32))
     assert np.isfinite(float(np.asarray(loss)))
+
+
+# -- custom VJP for the fused recurrent kernels (round-4 verdict #4) ---------
+
+
+def test_fused_layer_vjp_matches_scan_grads():
+    """recurrent_layer_ad gradients == jax.grad of the lax.scan path,
+    both layer kinds, both directions, ragged lengths."""
+    from flappie_tpu.ops import rnn as rnn_ops
+    from flappie_tpu.ops import rnn_vjp
+    from flappie_tpu.ops.masking import mask_tail, reverse_sequence
+
+    rng = np.random.default_rng(0)
+    B, T, IN, H = 3, 12, 8, 8
+    lengths = jnp.asarray(np.array([12, 9, 5], np.int32))
+    for kind, gates in (("lstm", 4), ("grumod", 3)):
+        for backward in (False, True):
+            x = jnp.asarray(rng.normal(size=(T, B, IN)).astype(np.float32))
+            iW = jnp.asarray((rng.normal(size=(IN, gates * H)) * 0.3).astype(np.float32))
+            bb = jnp.asarray((rng.normal(size=(gates * H,)) * 0.1).astype(np.float32))
+            sW = jnp.asarray((rng.normal(size=(H, gates * H)) * 0.3).astype(np.float32))
+            cot = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+            def loss_ad(x, iW, bb, sW):
+                y = rnn_vjp.recurrent_layer_ad(
+                    (kind, backward), x, iW, bb, sW, lengths
+                )
+                return jnp.sum(y * cot)
+
+            def loss_scan(x, iW, bb, sW):
+                xb = jnp.swapaxes(x, 0, 1)  # [B, T, IN]
+                xa = rnn_ops.affine(xb, iW, bb)
+                if backward:
+                    xa = reverse_sequence(xa, lengths)
+                y = (rnn_ops.lstm_seq if kind == "lstm" else rnn_ops.grumod_seq)(
+                    xa, sW
+                )
+                if backward:
+                    y = reverse_sequence(y, lengths)
+                y = mask_tail(y, lengths)
+                return jnp.sum(jnp.swapaxes(y, 0, 1) * cot)
+
+            v_ad, g_ad = jax.value_and_grad(loss_ad, argnums=(0, 1, 2, 3))(
+                x, iW, bb, sW
+            )
+            v_sc, g_sc = jax.value_and_grad(loss_scan, argnums=(0, 1, 2, 3))(
+                x, iW, bb, sW
+            )
+            np.testing.assert_allclose(v_ad, v_sc, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{kind} backward={backward}")
+            for name, a, s in zip(("dx", "diW", "db", "dsW"), g_ad, g_sc):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(s), rtol=2e-4, atol=2e-5,
+                    err_msg=f"{kind} backward={backward} {name}",
+                )
+
+
+def test_nll_grads_pallas_path_matches_scan(tiny_cfg):
+    """End-to-end CRF NLL gradients through the fused kernels (custom
+    VJP) match the scan path on the tiny model."""
+    from flappie_tpu.train.trainer import nll_loss
+
+    cfg = tiny_cfg
+    params = init_synthetic(cfg, seed=1)
+    signal, lengths, path = synthetic_batch(cfg, B=2, T=192, seed=5)
+    args = (jnp.asarray(signal), jnp.asarray(lengths), jnp.asarray(path))
+
+    v_sc, g_sc = jax.value_and_grad(
+        lambda p: nll_loss(p, cfg, *args, rnn_impl="scan")
+    )(params)
+    v_pl, g_pl = jax.value_and_grad(
+        lambda p: nll_loss(p, cfg, *args, rnn_impl="pallas")
+    )(params)
+    np.testing.assert_allclose(v_pl, v_sc, rtol=1e-5, atol=1e-5)
+    flat_sc = jax.tree_util.tree_leaves_with_path(g_sc)
+    flat_pl = dict(
+        (jax.tree_util.keystr(kp), leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(g_pl)
+    )
+    for kp, leaf in flat_sc:
+        key = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(flat_pl[key]), np.asarray(leaf),
+            rtol=5e-4, atol=5e-5, err_msg=key,
+        )

@@ -1,9 +1,17 @@
-"""Fit an empirical quality-score calibration (slope, offset) pair.
+"""Fit per-model empirical quality-score calibrations (qcal v2).
 
 The reference's qualities are explicitly uncalibrated (its
 README.md:231-234); this tool measures the predicted-vs-empirical
-phred relation on known-truth reads and fits the linear remap the
-flappie CLI applies with ``--qcal slope:offset``.
+phred relation on known-truth reads and fits, PER MODEL,
+
+- the linear remap (slope, offset) the flappie CLI applies with
+  ``--qcal slope:offset``, and
+- a count-weighted isotonic (PAVA) LUT -- a monotone remap clamped to
+  the reference's phred char range -- applied with ``--qcal <file>``.
+
+Fits use a train/held-out read split: the reported phred errors are
+measured on reads the fit never saw, so the table is evidence of
+generalisation, not memorisation.
 
 Truth comes from the synthetic-teacher machinery (train/data.py): the
 teacher's own Viterbi path is the truth; its fb-decode basecalls of
@@ -12,10 +20,12 @@ calibration curve is non-trivial.  Real deployments substitute
 reference-aligned reads: anything that yields (quality string,
 per-base correctness) pairs feeds the same fit.
 
-Writes docs/QCAL_r3.json and prints the fit + before/after
-count-weighted mean |q_emp - q_pred| in phred units.
+Writes docs/QCAL_r4.json ({"models": {name: {"lut": ..., "fit": ...,
+"heldout": ...}}}) and prints per-model before/after count-weighted
+mean |q_emp - q_pred| in phred units on the held-out split.
 
-    python tools/qscore_calibrate.py [--student ckpt.npz] [--reads N]
+    python tools/qscore_calibrate.py [--reads N] [--read-len L]
+        [--models r941_native,...] [--student ckpt.npz]
 """
 
 from __future__ import annotations
@@ -30,18 +40,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BASES = "ACGTZ"
+DEFAULT_MODELS = "r941_native,r941_rna002,r941_5mC,r103_native"
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--student", default=None, metavar="npz",
-                    help="Calibrate this checkpoint instead of the teacher")
-    ap.add_argument("--reads", type=int, default=12)
-    ap.add_argument("--read-len", type=int, default=6000)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "docs", "QCAL_r3.json"))
-    args = ap.parse_args()
-
+def calibrate_model(model: str, n_reads: int, read_len: int,
+                    student_ckpt: str | None, seed: int = 11) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -53,24 +56,24 @@ def main() -> int:
     from flappie_tpu.ops.crf import crf_viterbi
     from flappie_tpu.qcal import (
         apply_calibration,
+        apply_calibration_lut,
         calibration_error,
         calibration_table,
         fit_calibration,
+        fit_isotonic,
         phred_from_qstring,
     )
     from flappie_tpu.signal.preprocess import RawTable
     from flappie_tpu.train.data import path_to_bases
     from tests.ref_harness.parity_models import _shrink
 
-    cfg = _shrink("r941_native", 64)
+    cfg = _shrink(model, 64)
     teacher = init_synthetic(cfg, seed=1234)
-    rng = np.random.default_rng(11)
-    signals = rng.normal(size=(args.reads, args.read_len)).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    signals = rng.normal(size=(n_reads, read_len)).astype(np.float32)
 
-    # teacher Viterbi truth over the Basecaller's own preprocessing.
-    # Keep the ORIGINAL read index of every surviving row: calls are
-    # per input read, and any preprocess drop would otherwise shift
-    # every later call onto the wrong truth.
+    # teacher Viterbi truth over the Basecaller's own preprocessing;
+    # keep ORIGINAL read indices (preprocess drops must not shift rows)
     tables = [RawTable(f"r{i}", s.size, 0, s.size, s.copy())
               for i, s in enumerate(signals)]
     pre = native.preprocess_batch(tables)
@@ -93,55 +96,108 @@ def main() -> int:
         for j in range(len(segs))
     }
 
-    params = load_npz(args.student) if args.student else teacher
+    params = load_npz(student_ckpt) if student_ckpt else teacher
     bc = Basecaller(cfg, params=params, chunk=0, viterbi_only=False)
     calls = bc.basecall_raw_tables(
         [RawTable(f"r{i}", s.size, 0, s.size, s.copy())
          for i, s in enumerate(signals)]
     )
 
-    quals, correct, idents = [], [], []
+    per_read = []  # (quals, correct, identity)
     for i, res in enumerate(calls):
         truth = truth_by_read.get(i)
         if res is None or truth is None or not res.quality:
             continue
-        quals.append(phred_from_qstring(res.quality))
-        correct.append(align_call_status(res.basecall, truth))
-        idents.append(align_identity(res.basecall, truth).identity)
-    quals = np.concatenate(quals)
-    correct = np.concatenate(correct)
+        per_read.append((
+            phred_from_qstring(res.quality),
+            align_call_status(res.basecall, truth),
+            align_identity(res.basecall, truth).identity,
+        ))
 
-    table = calibration_table(quals, correct)
-    a, b = fit_calibration(table)
-    err_raw = calibration_error(table)  # vs the identity map
-    err_fit = calibration_error(table, a, b)
+    # held-out split: every 3rd read is evaluation-only
+    train = [r for k, r in enumerate(per_read) if k % 3 != 2]
+    held = [r for k, r in enumerate(per_read) if k % 3 == 2]
+    tq = np.concatenate([r[0] for r in train])
+    tc = np.concatenate([r[1] for r in train])
+    hq = np.concatenate([r[0] for r in held])
+    hc = np.concatenate([r[1] for r in held])
 
-    # the remap is monotone and stays in the legal char range
+    t_table = calibration_table(tq, tc)
+    a, b = fit_calibration(t_table)
+    lut = fit_isotonic(t_table)
+
+    # held-out evaluation: remap the held-out predicted scores with
+    # each fit, re-bin against held-out correctness, measure the
+    # count-weighted phred error vs the identity line
+    def heldout_err(remap) -> float:
+        q2 = remap(hq)
+        return calibration_error(calibration_table(q2, hc))
+
+    err_raw = heldout_err(lambda q: q)
+    err_lin = heldout_err(
+        lambda q: np.clip(np.rint(a * q + b), 0, 93).astype(int)
+    )
+    err_iso = heldout_err(lambda q: lut[np.clip(q, 0, lut.size - 1)])
+
+    # sanity: both remaps stay in the legal char range and isotonic is
+    # monotone by construction
     sample_q = "".join(chr(q + 33) for q in range(0, 41))
-    remapped = phred_from_qstring(apply_calibration(sample_q, a, b))
-    assert np.all(np.diff(remapped) >= 0) if a >= 0 else True
-    assert remapped.min() >= 0 and remapped.max() <= 93
+    for remapped in (
+        phred_from_qstring(apply_calibration(sample_q, a, b)),
+        phred_from_qstring(apply_calibration_lut(sample_q, lut)),
+    ):
+        assert remapped.min() >= 0 and remapped.max() <= 93
+    assert np.all(np.diff(lut) >= 0)
+
+    return {
+        "reads": len(per_read),
+        "train_reads": len(train),
+        "heldout_reads": len(held),
+        "bases": int(tq.size + hq.size),
+        "mean_identity_pct": round(
+            100 * float(np.mean([r[2] for r in per_read])), 3
+        ),
+        "table": t_table.as_dict(),
+        "fit": {"slope": round(a, 4), "offset": round(b, 4)},
+        "lut": lut.tolist(),
+        "heldout_weighted_mean_abs_phred_error": {
+            "raw": round(err_raw, 3),
+            "linear": round(err_lin, 3),
+            "isotonic": round(err_iso, 3),
+        },
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--student", default=None, metavar="npz",
+                    help="Calibrate this checkpoint instead of the teacher")
+    ap.add_argument("--reads", type=int, default=48)
+    ap.add_argument("--read-len", type=int, default=5000)
+    ap.add_argument("--models", default=DEFAULT_MODELS,
+                    help="Comma-separated flip-flop models to calibrate")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "QCAL_r4.json"))
+    args = ap.parse_args()
 
     out = {
         "truth": "synthetic-teacher Viterbi path (train/data.py machinery)",
-        "model": args.student or "teacher (synthetic, H=64)",
-        "reads": len(idents),
-        "bases": int(quals.size),
-        "mean_identity_pct": round(100 * float(np.mean(idents)), 3),
-        "table": table.as_dict(),
-        "fit": {"slope": round(a, 4), "offset": round(b, 4)},
-        "weighted_mean_abs_phred_error": {
-            "raw": round(err_raw, 3),
-            "calibrated": round(err_fit, 3),
-        },
-        "cli": f"flappie --qcal {a:.3f}:{b:.3f} ...",
+        "student": args.student or "teacher (synthetic, H=64)",
+        "split": "per-read, every 3rd read held out; errors are held-out",
+        "models": {},
     }
+    for model in args.models.split(","):
+        model = model.strip()
+        res = calibrate_model(model, args.reads, args.read_len, args.student)
+        out["models"][model] = res
+        e = res["heldout_weighted_mean_abs_phred_error"]
+        print(f"{model}: fit q' = {res['fit']['slope']:.3f}*q + "
+              f"{res['fit']['offset']:.3f}; held-out phred error "
+              f"raw {e['raw']:.2f} -> linear {e['linear']:.2f} -> "
+              f"isotonic {e['isotonic']:.2f} "
+              f"({res['reads']} reads, {res['bases']} bases)", flush=True)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(f"fit: q' = {a:.3f}*q + {b:.3f} over {quals.size} bases "
-          f"({len(idents)} reads)")
-    print(f"weighted mean |q_emp - q_pred|: raw {err_raw:.2f} -> "
-          f"calibrated {err_fit:.2f} phred")
     print(f"wrote {os.path.normpath(args.out)}")
     return 0
 

@@ -147,10 +147,12 @@ def main() -> int:
     grouped = [np.concatenate(d8_bufs[o : o + G], axis=0)
                for o in range(0, len(d8_bufs) - G + 1, G)]
     rest = d8_bufs[len(grouped) * G :]
-    # warm each program that will be timed
+    # warm EACH program that will be timed (independent ifs: when both
+    # grouped and rest are non-empty -- the common case -- both the
+    # grouped and the ungrouped d8 programs run in the timed loop)
     if grouped:
         _ = np.asarray(caller.dispatch_packed_chunk_d8_grouped(grouped[0], G))
-    elif rest:
+    if rest:
         _ = np.asarray(caller.dispatch_packed_chunk_d8(rest[0]))
     if i16_bufs:
         _ = np.asarray(caller.dispatch_packed_chunk_i16(i16_bufs[0]))
