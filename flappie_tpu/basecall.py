@@ -76,6 +76,9 @@ class _Pipeline:
 
     def _run(self, tag, out) -> None:
         try:
+            if hasattr(out, "result"):  # threaded-upload future
+                with timing.phase("upload_wait"):
+                    out = out.result()
             with timing.phase("collect_wait"):  # device wait + D2H bytes
                 out = jax.tree.map(np.asarray, out)
             with timing.phase("collect_host"):  # unpack + assemble
@@ -182,6 +185,21 @@ def _chaos_maybe_fail_dispatch() -> None:
     p = _chaos_p("FLAPPIE_TPU_CHAOS_DISPATCH")
     if p and np.random.default_rng().random() < p:
         raise RuntimeError("chaos: injected dispatch failure")
+
+
+def _upload_threads() -> int:
+    """FLAPPIE_TPU_UPLOAD_THREADS: run device dispatches on a
+    background pool of this many threads, so the tunnel's BLOCKING
+    host->device round trip (the device_put inside each dispatch,
+    ~31.5 ms floor + payload at ~40-75 MB/s, docs/PROBE_dispatch_r3)
+    overlaps the next batch's pack/encode instead of serialising with
+    it.  0 (default) dispatches synchronously on the caller thread;
+    outputs are identical either way (ordering is preserved by the
+    dispatch pipeline's queue).  Probe: tools/probe_upload_overlap.py."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_UPLOAD_THREADS")
+    return max(0, int(v)) if v else 0
 
 
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
@@ -639,6 +657,7 @@ class Basecaller:
         # dispatches per compiled packed program (wire observability;
         # filled at the _dispatch_packed chokepoint)
         self.dispatch_stats: dict = {}
+        self._upload_pool = None  # lazy (FLAPPIE_TPU_UPLOAD_THREADS)
         if params is None:
             if checkpoint is not None:
                 params = load_npz(checkpoint)
@@ -761,10 +780,11 @@ class Basecaller:
                         scal[j] = (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
                     buf16 = self.pack_chunk_inputs_i16(adc, lengths, zeros, zeros, scal)
                     b8 = encode_d8(buf16) if _prefer_d8() else None
-                with timing.phase("dispatch"):
-                    if b8 is not None:
-                        return (chunk, bucket), self.dispatch_packed_batch_d8(b8)
-                    return (chunk, bucket), self.dispatch_packed_batch_i16(buf16)
+                if b8 is not None:
+                    return (chunk, bucket), self._submit_dispatch(
+                        self.dispatch_packed_batch_d8, b8)
+                return (chunk, bucket), self._submit_dispatch(
+                    self.dispatch_packed_batch_i16, buf16)
             with timing.phase("pack"):
                 sig = np.zeros((B, bucket), F32)
                 for j, (_, rt) in enumerate(chunk):
@@ -772,8 +792,8 @@ class Basecaller:
                     sig[j, : seg.size] = seg
                     lengths[j] = seg.size
                 buf = self.pack_chunk_inputs(sig, lengths, zeros, zeros)
-            with timing.phase("dispatch"):
-                return (chunk, bucket), self.dispatch_packed_batch(buf)
+            return (chunk, bucket), self._submit_dispatch(
+                self.dispatch_packed_batch, buf)
 
         def _collect(tag, out):
             chunk, bucket = tag
@@ -868,11 +888,27 @@ class Basecaller:
         name = getattr(program, "__name__", str(program))
         self.dispatch_stats[name] = self.dispatch_stats.get(name, 0) + 1
         extra = () if G is None else (G,)
-        return program(
-            self.params, jnp.asarray(buf), *extra, self.cfg,
-            self.temperature, self.viterbi_only, self.compute_trace,
-            self.rnn_impl,
-        )
+        with timing.phase("dispatch"):
+            return program(
+                self.params, jnp.asarray(buf), *extra, self.cfg,
+                self.temperature, self.viterbi_only, self.compute_trace,
+                self.rnn_impl,
+            )
+
+    def _submit_dispatch(self, fn, *args):
+        """Run one dispatch callable, on the upload pool when
+        FLAPPIE_TPU_UPLOAD_THREADS > 0 (returns a Future the dispatch
+        pipeline resolves) or synchronously otherwise."""
+        n = _upload_threads()
+        if n <= 0:
+            return fn(*args)
+        if self._upload_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._upload_pool = ThreadPoolExecutor(
+                n, thread_name_prefix="flappie-upload"
+            )
+        return self._upload_pool.submit(fn, *args)
 
     def dispatch_packed_batch(self, buf):
         """Packed-I/O dispatch of one legacy (bucketed) batch."""
@@ -1004,21 +1040,18 @@ class Basecaller:
             return "f32", self.pack_chunk_inputs(sig, lengths, qlo, qhi)
 
         def _dispatch_one(kind, buf):
-            with timing.phase("dispatch"):
-                if kind == "d8":
-                    return self.dispatch_packed_chunk_d8(buf)
-                return (self.dispatch_packed_chunk_i16(buf) if kind == "i16"
-                        else self.dispatch_packed_chunk(buf))
+            fn = (self.dispatch_packed_chunk_d8 if kind == "d8"
+                  else self.dispatch_packed_chunk_i16 if kind == "i16"
+                  else self.dispatch_packed_chunk)
+            return self._submit_dispatch(fn, buf)
 
         def _dispatch_grouped(kind, bufs):
-            with timing.phase("dispatch"):
-                buf = np.concatenate(bufs, axis=0)
-                g = len(bufs)
-                if kind == "d8":
-                    return self.dispatch_packed_chunk_d8_grouped(buf, g)
-                return (self.dispatch_packed_chunk_i16_grouped(buf, g)
-                        if kind == "i16"
-                        else self.dispatch_packed_chunk_grouped(buf, g))
+            buf = np.concatenate(bufs, axis=0)
+            g = len(bufs)
+            fn = (self.dispatch_packed_chunk_d8_grouped if kind == "d8"
+                  else self.dispatch_packed_chunk_i16_grouped if kind == "i16"
+                  else self.dispatch_packed_chunk_grouped)
+            return self._submit_dispatch(fn, buf, g)
 
         def _finish(i):
             st = state[i]

@@ -159,3 +159,19 @@ def test_mesh_d8_fallback_rows_stay_sharded(monkeypatch, adc, cfg_params):
     assert "int16" in dtypes  # the fallback fired
     for rec in dist.wire_log:
         assert rec["devices"] == N_DATA
+
+
+def test_upload_threads_outputs_identical(monkeypatch, adc, cfg_params):
+    """FLAPPIE_TPU_UPLOAD_THREADS moves the blocking dispatch round
+    trips onto a background pool; outputs must be byte-identical to the
+    synchronous path (ordering is preserved by the dispatch queue)."""
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD", "i16")
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", "2")
+    cfg, params = cfg_params
+    reads = _reads(adc)
+    base = _results(Basecaller(**_caller_kw(cfg, params)), reads)
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD_THREADS", "2")
+    threaded = Basecaller(**_caller_kw(cfg, params))
+    got = _results(threaded, reads)
+    assert got == base
+    assert threaded._upload_pool is not None  # the pool really ran

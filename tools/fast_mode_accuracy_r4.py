@@ -1,0 +1,184 @@
+"""--fast accuracy band over a 512-read corpus, three model families.
+
+Round-3 verdict weak #5: the --fast (bf16-stream recurrence) accuracy
+band was measured on ONE fixture read.  This tool measures it on a
+512-read corpus (tiled real fixture ADC + per-read jitter) through the
+REAL product surfaces -- the flappie CLI for r941_native and r941_5mC,
+the runnie CLI + run-length expansion for rle_r941_native -- running
+each corpus twice in fresh processes (exact f32 stream vs --fast bf16
+stream; the stream policy binds at trace time) and reporting the
+per-read identity distribution of fast vs exact plus the per-read max
+phred shift where lengths align.
+
+Read lengths are drawn above the chunk size (flipflop models ride the
+single-shape chunked program) and inside one bucket for runnie, so each
+model/stream pair costs one device program.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/fast_mode_accuracy_r4.py [NREADS]
+
+Writes docs/ACCURACY_fast_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_corpus(reads_dir: str, n_reads: int, rng) -> int:
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    adc = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    adc = adc.astype(np.int16)
+    total = 0
+    for i in range(n_reads):
+        # 16k-28k samples: above the 12800 chunk (flipflop reads all ride
+        # the chunked program) and inside the 32768 bucket (runnie pays
+        # exactly one program shape)
+        n = int(rng.integers(16_000, 28_000))
+        row = np.tile(adc, int(np.ceil(n / adc.size)))[:n]
+        row = (row + rng.integers(-3, 4, size=n)).astype(np.int16)
+        total += n
+        write_single_read_fast5(
+            os.path.join(reads_dir, f"read{i:04d}.fast5"), row,
+            f"0f776a08-0000-4000-8000-{i:012d}")
+    return total
+
+
+def run_flappie(reads_dir: str, model: str, stream: str, out_path: str):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env["FLAPPIE_TPU_RNN_STREAM"] = stream
+    with open(out_path, "w") as fh:
+        proc = subprocess.run(
+            [sys.executable, "-m", "flappie_tpu.cli.flappie",
+             "--model", model, reads_dir],
+            stdout=fh, stderr=subprocess.PIPE, text=True, env=env,
+            timeout=5400)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-3000:])
+    calls = {}
+    with open(out_path) as fh:
+        lines = fh.read().splitlines()
+    for i, line in enumerate(lines):
+        if line.startswith("@"):
+            uuid = line[1:].split()[0]
+            calls[uuid] = (lines[i + 1], lines[i + 3])
+    return calls
+
+
+def run_runnie(reads_dir: str, stream: str, out_path: str):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env["FLAPPIE_TPU_RNN_STREAM"] = stream
+    with open(out_path, "w") as fh:
+        proc = subprocess.run(
+            [sys.executable, "-m", "flappie_tpu.cli.runnie", reads_dir],
+            stdout=fh, stderr=subprocess.PIPE, text=True, env=env,
+            timeout=5400)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-3000:])
+    from flappie_tpu.io.run_format import read_run_records, runlength_basecall
+
+    calls = {}
+    with open(out_path) as fh:
+        for uuid, rows in read_run_records(fh):
+            seq = runlength_basecall(rows)
+            calls[uuid] = (seq or "", None)
+    return calls
+
+
+def band(exact: dict, fast: dict) -> dict:
+    from flappie_tpu.accuracy import align_identity
+
+    idents, qshifts, exact_only = [], [], 0
+    for uuid, (eseq, equal) in exact.items():
+        f = fast.get(uuid)
+        if f is None:
+            exact_only += 1
+            continue
+        fseq, fqual = f
+        if fseq == eseq:
+            idents.append(1.0)
+        else:
+            idents.append(align_identity(fseq, eseq).identity)
+        if equal and fqual and len(fqual) == len(equal):
+            qshifts.append(max(abs(ord(x) - ord(y))
+                               for x, y in zip(fqual, equal)))
+    ids = 100 * np.asarray(idents)
+    out = {
+        "reads": len(idents),
+        "identity_pct": {
+            "mean": round(float(ids.mean()), 3),
+            "p5": round(float(np.percentile(ids, 5)), 3),
+            "p50": round(float(np.percentile(ids, 50)), 3),
+            "min": round(float(ids.min()), 3),
+            "identical_reads": int((ids == 100.0).sum()),
+        },
+        "missing_in_fast": exact_only,
+    }
+    if qshifts:
+        qs = np.asarray(qshifts)
+        out["phred_max_absdiff"] = {
+            "p50": int(np.percentile(qs, 50)),
+            "p95": int(np.percentile(qs, 95)),
+            "max": int(qs.max()),
+            "aligned_reads": len(qshifts),
+        }
+    return out
+
+
+def main() -> int:
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="fastacc_")
+    reads_dir = os.path.join(tmp, "reads")
+    os.makedirs(reads_dir)
+    total = gen_corpus(reads_dir, n_reads, rng)
+    print(f"corpus: {n_reads} reads, {total/1e6:.1f} Msamples", flush=True)
+
+    results = {"n_reads": n_reads, "total_samples": total,
+               "corpus": "tiled real fixture ADC + per-read jitter",
+               "models": {}}
+    jobs = [("r941_native", "flappie"), ("r941_5mC", "flappie"),
+            ("rle_r941_native", "runnie")]
+    for model, surface in jobs:
+        t0 = time.perf_counter()
+        if surface == "flappie":
+            exact = run_flappie(reads_dir, model, "f32",
+                                os.path.join(tmp, f"{model}_exact.fastq"))
+            fast = run_flappie(reads_dir, model, "bf16",
+                               os.path.join(tmp, f"{model}_fast.fastq"))
+        else:
+            exact = run_runnie(reads_dir, "f32",
+                               os.path.join(tmp, f"{model}_exact.run"))
+            fast = run_runnie(reads_dir, "bf16",
+                              os.path.join(tmp, f"{model}_fast.run"))
+        res = band(exact, fast)
+        res["surface"] = surface
+        res["wall_s_both_runs"] = round(time.perf_counter() - t0, 1)
+        results["models"][model] = res
+        print(f"{model}: {json.dumps(res)}", flush=True)
+
+    out = os.path.join(REPO, "docs", "ACCURACY_fast_r4.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {os.path.normpath(out)}", flush=True)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
