@@ -28,7 +28,7 @@ import sys
 
 import numpy as np
 
-from bench_common import build_batches, pipelined
+from bench_common import pipelined
 
 
 def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
@@ -42,18 +42,29 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
         "r941_native", seed=0, compute_trace=False, mesh=mesh
     )
     B = per_device_batch * n_data
-    batches = build_batches(B, T, n_batches=2)
 
-    # the production path: packed chunk batches sharded over the mesh
-    from bench import build_chunk_batches
+    # the PRODUCTION wire: d8-packed chunk batches sharded over the
+    # mesh (round-3 verdict: this script used to measure only the f32
+    # packed path, the one wire real fast5 input does not take)
+    from bench import build_adc_batches, build_chunk_batches_i16
+    from flappie_tpu.basecall import encode_d8
 
     caller.chunk_batch = max(caller.n_data, 128 // max(1, 128 // B))
-    chunk_batches, samples = build_chunk_batches(caller, batches)
-    _ = np.asarray(caller.dispatch_packed_chunk(chunk_batches[0]))
+    adc_batches = build_adc_batches(B, T, n_batches=2)
+    chunk_i16, samples = build_chunk_batches_i16(caller, adc_batches)
+    chunk_d8 = [encode_d8(b) for b in chunk_i16]
+    if all(b is not None for b in chunk_d8):
+        dispatch, bufs, wire = caller.dispatch_packed_chunk_d8, chunk_d8, "d8"
+    else:  # hostile signal: the same fallback the product takes
+        dispatch, bufs, wire = caller.dispatch_packed_chunk_i16, chunk_i16, "i16"
+    _ = np.asarray(dispatch(bufs[0]))
     sps = max(
-        pipelined(caller.dispatch_packed_chunk, chunk_batches, samples,
-                  max(1, iters // 2))
+        pipelined(dispatch, bufs, samples, max(1, iters // 2))
         for _ in range(2)
+    )
+    wl = list(caller.wire_log)
+    assert wl and all(r["shard_rows"] * n_data == r["rows"] for r in wl), (
+        "dispatches did not span the data axis"
     )
     return {
         "metric": "signal_samples_per_second",
@@ -63,6 +74,7 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
         "per_device": round(sps / n_data, 1),
         "batch": B,
         "T": T,
+        "wire": wire,
         "backend": jax.default_backend(),
     }
 

@@ -330,6 +330,14 @@ def main(argv=None) -> int:
     # accounting (fast5 read / preprocess / encode_d8 / pack / dispatch
     # / collect / format) so any run can account for every second
     timing.maybe_dump()
+    if args.mesh and args.mesh > 1 and hasattr(caller, "wire_summary"):
+        # one-line dispatch observability: which wires ran and over how
+        # many devices each dispatch actually spanned (guards against
+        # the silent-unsharded failure mode)
+        import json as _json
+
+        print(f"flappie-mesh: {_json.dumps(caller.wire_summary())}",
+              file=sys.stderr)
     return 0
 
 

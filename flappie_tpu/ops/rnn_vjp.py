@@ -42,6 +42,20 @@ from . import rnn_pallas
 from .masking import reverse_sequence_tm
 
 
+
+def _grad_precision():
+    """FLAPPIE_TPU_GRAD_PRECISION: matmul precision for the adjoint
+    (default "high", 3-pass bf16 -- the same fidelity tier as the
+    forward kernels' step matmul policy, ops/precision.py; "highest"
+    for full-f32 gradients).  CPU ignores precision (always true f32),
+    so the grad-check tests are unaffected."""
+    import os
+
+    from .precision import _LEVELS
+
+    return _LEVELS[os.environ.get("FLAPPIE_TPU_GRAD_PRECISION", "high").lower()]
+
+
 def _float0(x):
     """Cotangent for integer-dtype primal args (JAX's float0)."""
     return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
@@ -78,14 +92,15 @@ def _fwd(meta, x_tm, iW, b, sW, lengths):
     return out, (x_tm, iW, b, sW, lengths, out, c_seq)
 
 
-def _lstm_adjoint_scan(xa, h_prev, c_prev, dy, valid, sW):
+def _lstm_adjoint_scan(xa, h_prev, c_prev, dy, valid, sW, prec):
     """Reverse scan emitting dxF [T, B, 4H]; see module docstring."""
     H = sW.shape[0]
 
     def step(carry, inp):
         dh, dc = carry
         xa_t, hp, cp, dy_t, v = inp
-        xF = xa_t + jnp.dot(hp, sW, preferred_element_type=jnp.float32)
+        xF = xa_t + jnp.dot(hp, sW, precision=prec,
+                            preferred_element_type=jnp.float32)
         u = jax.nn.sigmoid(xF[:, :H])
         f = jax.nn.sigmoid(xF[:, H : 2 * H])
         g = jnp.tanh(xF[:, 2 * H : 3 * H])
@@ -107,7 +122,8 @@ def _lstm_adjoint_scan(xa, h_prev, c_prev, dy, valid, sW):
             ],
             axis=1,
         )
-        dh_prev = jnp.dot(dxF, sW.T, preferred_element_type=jnp.float32) \
+        dh_prev = jnp.dot(dxF, sW.T, precision=prec,
+                          preferred_element_type=jnp.float32) \
             + (1.0 - v) * dh
         dc_prev = f * dct + (1.0 - v) * dc
         return (dh_prev, dc_prev), dxF
@@ -120,13 +136,14 @@ def _lstm_adjoint_scan(xa, h_prev, c_prev, dy, valid, sW):
     return dxF_seq, dxF_seq  # (dxa, dv) coincide for LSTM
 
 
-def _grumod_adjoint_scan(xa, h_prev, _c_prev, dy, valid, sW):
+def _grumod_adjoint_scan(xa, h_prev, _c_prev, dy, valid, sW, prec):
     """Reverse scan emitting (dxa, dv), both [T, B, 3H]."""
     H = sW.shape[0]
 
     def step(dh, inp):
         xa_t, hp, dy_t, v = inp
-        vmat = jnp.dot(hp, sW, preferred_element_type=jnp.float32)
+        vmat = jnp.dot(hp, sW, precision=prec,
+                       preferred_element_type=jnp.float32)
         z = jax.nn.sigmoid(xa_t[:, :H] + vmat[:, :H])
         r = jax.nn.sigmoid(xa_t[:, H : 2 * H] + vmat[:, H : 2 * H])
         hbar = jnp.tanh(r * vmat[:, 2 * H :] + xa_t[:, 2 * H :])
@@ -140,7 +157,8 @@ def _grumod_adjoint_scan(xa, h_prev, _c_prev, dy, valid, sW):
         dxa = jnp.concatenate([dpre_z, dpre_r, dpre_hbar], axis=1)
         dv = jnp.concatenate([dpre_z, dpre_r, dvh], axis=1)
         dh_prev = z * dh2 \
-            + jnp.dot(dv, sW.T, preferred_element_type=jnp.float32) \
+            + jnp.dot(dv, sW.T, precision=prec,
+                      preferred_element_type=jnp.float32) \
             + (1.0 - v) * dh
         return dh_prev, (dxa, dv)
 
@@ -154,6 +172,7 @@ def _grumod_adjoint_scan(xa, h_prev, _c_prev, dy, valid, sW):
 
 def _bwd(meta, res, dy):
     kind, backward = meta
+    prec = _grad_precision()
     x_tm, iW, b, sW, lengths, h_seq, c_seq = res
     T, B, IN = x_tm.shape
     H = sW.shape[0]
@@ -177,6 +196,7 @@ def _bwd(meta, res, dy):
     xa = (
         jnp.dot(
             x32.reshape(T * B, IN), iW.astype(jnp.float32),
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
         + b.astype(jnp.float32)
@@ -194,14 +214,17 @@ def _bwd(meta, res, dy):
     ).astype(jnp.float32)  # [T, B, 1]
 
     adjoint = _lstm_adjoint_scan if kind == "lstm" else _grumod_adjoint_scan
-    dxa_seq, dv_seq = adjoint(xa, h_prev, c_prev, dy, valid, sW)
+    dxa_seq, dv_seq = adjoint(xa, h_prev, c_prev, dy, valid, sW, prec)
 
     GH = dxa_seq.shape[-1]
-    dsW = jnp.einsum("tbh,tbg->hg", h_prev, dv_seq)
-    diW = jnp.einsum("tbi,tbg->ig", x32, dxa_seq)
+    dsW = jnp.einsum("tbh,tbg->hg", h_prev, dv_seq,
+                     precision=prec)
+    diW = jnp.einsum("tbi,tbg->ig", x32, dxa_seq,
+                     precision=prec)
     db = dxa_seq.sum(axis=(0, 1))
     dx = jnp.dot(
         dxa_seq.reshape(T * B, GH), iW.astype(jnp.float32).T,
+        precision=prec,
         preferred_element_type=jnp.float32,
     ).reshape(T, B, IN)
     if backward:

@@ -68,8 +68,12 @@ def calibrate_model(model: str, n_reads: int, read_len: int,
     from tests.ref_harness.parity_models import _shrink
 
     cfg = _shrink(model, 64)
-    teacher = init_synthetic(cfg, seed=1234)
-    rng = np.random.default_rng(seed)
+    # per-model teacher + signal seeds: the three stride-5 flip-flop
+    # models share one architecture, so identical seeds would make
+    # their calibration experiments literally the same run
+    mseed = sum(ord(c) for c in model)
+    teacher = init_synthetic(cfg, seed=1234 + mseed)
+    rng = np.random.default_rng(seed + mseed)
     signals = rng.normal(size=(n_reads, read_len)).astype(np.float32)
 
     # teacher Viterbi truth over the Basecaller's own preprocessing;
