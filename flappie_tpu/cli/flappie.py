@@ -138,9 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "in bfloat16 (FLAPPIE_TPU_RNN_STREAM=bf16; ~23%% "
                         "less device time at chunk shapes, measured "
                         "docs/BENCH_e2e_r3.json).  Outputs shift within a "
-                        "measured accuracy band (tools/fast_mode_accuracy.py "
-                        "-> docs/ACCURACY_fast_r3.json) instead of being "
-                        "bit-exact to the reference")
+                        "measured accuracy band instead of being bit-exact "
+                        "to the reference: ~98.9%% median identity vs the "
+                        "exact stream, max phred shift 2, over 512 reads "
+                        "per model family (tools/fast_mode_accuracy_r4.py "
+                        "-> docs/ACCURACY_fast_r4.json)")
     p.add_argument("--qcal", default=None, metavar="slope:offset|file",
                    help="Calibrate quality scores post-hoc: either "
                         "q' = slope*q + offset per base, or the path of "
