@@ -202,6 +202,23 @@ def _upload_threads() -> int:
     return max(0, int(v)) if v else 0
 
 
+def _preprocess_wave() -> int:
+    """FLAPPIE_TPU_PREPROCESS_WAVE: reads per preprocessing wave.
+
+    basecall_raw_tables preprocesses this many reads at a time on a
+    background thread while the previous wave's chunks pack/dispatch,
+    so host preprocessing (the largest single warm-CLI phase in
+    docs/SOAK_r4.json) overlaps the device round trips instead of
+    serialising ahead of the first dispatch.  0 disables (one-shot
+    preprocess, the pre-round-4 behaviour); outputs are identical
+    either way -- waves change only when work happens, never how
+    batches are packed."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_PREPROCESS_WAVE")
+    return max(0, int(v)) if v is not None else 64
+
+
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
 def _device_decode(trans, nblocks, nbase: int, nstate: int, viterbi_only: bool, compute_trace: bool):
     """CRF decode of transition weights (fb posterior unless viterbi).
@@ -733,26 +750,64 @@ class Basecaller:
         # (bit-identical to the numpy path), else numpy per read.
         from . import native
 
-        with timing.phase("preprocess"):
-            processed = native.preprocess_batch(
-                reads,
-                trim_start=trim_start,
-                trim_end=trim_end,
-                varseg_chunk=varseg_chunk,
-                varseg_thresh=varseg_thresh,
-                delta=delta,
-            )
-        _chaos_corrupt_reads(processed)
-        prepped = [(i, rt) for i, rt in enumerate(processed) if rt is not None]
-        results: List[Optional[BasecallResult]] = [None] * len(reads)
+        def _pre(batch):
+            with timing.phase("preprocess"):
+                return native.preprocess_batch(
+                    batch,
+                    trim_start=trim_start,
+                    trim_end=trim_end,
+                    varseg_chunk=varseg_chunk,
+                    varseg_thresh=varseg_thresh,
+                    delta=delta,
+                )
 
-        # Production fast path: reads longer than one chunk go through
-        # the fixed-shape chunked program (length -> batch parallelism).
-        if self.chunk:
-            long_items = [(i, rt) for i, rt in prepped if rt.end - rt.start > self.chunk]
-            prepped = [(i, rt) for i, rt in prepped if rt.end - rt.start <= self.chunk]
-            if long_items:
-                self._basecall_chunked(long_items, results, reverse)
+        results: List[Optional[BasecallResult]] = [None] * len(reads)
+        chunked = self._chunked_run(results, reverse) if self.chunk else None
+        prepped: list = []  # short reads -> the bucketed path below
+
+        def _absorb(processed, base):
+            # Production fast path: reads longer than one chunk go
+            # through the fixed-shape chunked program (length -> batch
+            # parallelism); dispatched INCREMENTALLY so later waves'
+            # preprocessing overlaps earlier waves' device round trips.
+            _chaos_corrupt_reads(processed)
+            batch = [(base + k, rt) for k, rt in enumerate(processed)
+                     if rt is not None]
+            if chunked is not None:
+                long_items = [(i, rt) for i, rt in batch
+                              if rt.end - rt.start > self.chunk]
+                batch = [(i, rt) for i, rt in batch
+                         if rt.end - rt.start <= self.chunk]
+                if long_items:
+                    chunked.add(long_items)
+            prepped.extend(batch)
+
+        # Wave streaming (FLAPPIE_TPU_PREPROCESS_WAVE reads per wave, 0
+        # disables): preprocess wave k+1 on a background thread (the
+        # native batch call releases the GIL) while wave k's chunks
+        # pack, encode and dispatch on this thread -- host
+        # preprocessing was the single largest phase of the round-4
+        # warm soak (docs/SOAK_r4.json) and it serialised ahead of the
+        # first dispatch.
+        wave = _preprocess_wave()
+        if wave and len(reads) > wave:
+            from concurrent.futures import ThreadPoolExecutor
+
+            offsets = list(range(0, len(reads), wave))
+            with ThreadPoolExecutor(
+                1, thread_name_prefix="flappie-pre"
+            ) as ex:
+                fut = ex.submit(_pre, reads[: wave])
+                for w, ofs in enumerate(offsets):
+                    processed = fut.result()
+                    if w + 1 < len(offsets):
+                        nxt = offsets[w + 1]
+                        fut = ex.submit(_pre, reads[nxt : nxt + wave])
+                    _absorb(processed, ofs)
+        else:
+            _absorb(_pre(reads), 0)
+        if chunked is not None:
+            chunked.finish()
 
         # Group by bucket to keep shapes static; batch within bucket.
         by_bucket: dict = {}
@@ -889,11 +944,14 @@ class Basecaller:
         self.dispatch_stats[name] = self.dispatch_stats.get(name, 0) + 1
         extra = () if G is None else (G,)
         with timing.phase("dispatch"):
-            return program(
-                self.params, jnp.asarray(buf), *extra, self.cfg,
-                self.temperature, self.viterbi_only, self.compute_trace,
-                self.rnn_impl,
-            )
+            with timing.phase("dispatch_upload"):  # H2D bytes (blocking)
+                dev = jnp.asarray(buf)
+            with timing.phase("dispatch_launch"):  # trace-cache hit + enqueue
+                return program(
+                    self.params, dev, *extra, self.cfg,
+                    self.temperature, self.viterbi_only, self.compute_trace,
+                    self.rnn_impl,
+                )
 
     def _submit_dispatch(self, fn, *args):
         """Run one dispatch callable, on the upload pool when
@@ -971,45 +1029,59 @@ class Basecaller:
         """Batch overlapping chunks of long reads ACROSS reads through
         one fixed-shape program; stitch decoded paths at overlap
         midpoints (see parallel/chunking.ChunkRecord)."""
+        run = self._chunked_run(results, reverse)
+        run.add(items)
+        run.finish()
+
+    def _chunked_run(self, results, reverse: bool):
+        """Incremental form of _basecall_chunked: returns an object
+        whose ``add(items)`` registers long reads and dispatches every
+        FULL chunk batch immediately, and whose ``finish()`` flushes
+        the remainder and drains the dispatch pipeline.  Lets
+        basecall_raw_tables stream reads in waves (preprocess of wave
+        k+1 overlapping the dispatch of wave k) while packing batches
+        identically to the one-shot path: full batches at
+        self.chunk_batch, then one final (possibly bucketed) tail."""
+        from types import SimpleNamespace
+
         from .parallel.chunking import chunk_records, plan_chunks
 
         stride = self.cfg.total_stride
         chunk_T = self.chunk
         nstate = self.cfg.nstate
 
-        jobs = []  # (read index, ChunkRecord)
+        jobs = []  # (read index, ChunkRecord) not yet packed
         state: dict = {}
         i16_ok = _upload_mode() != "f32"
-        for i, rt in items:
-            seg = rt.active()
-            plan = plan_chunks(seg.size, stride, chunk_T, self.overlap)
-            recs = chunk_records(plan)
-            nb = plan.nblocks
-            state[i] = {
-                "rt": rt,
-                "seg": seg,
-                "adc_seg": rt.adc[rt.start : rt.end]
-                if i16_ok and _i16_capable(rt) else None,
-                "scal": (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
-                if i16_ok and _i16_capable(rt) else None,
-                "nb": nb,
-                "remaining": len(recs),
-                "score": 0.0,
-                "path": np.zeros(nb + 1, np.int8),
-                "qchar": np.zeros(nb + 1, np.uint8),
-                "trace": (
-                    np.zeros((nb + 1, nstate), np.uint8)
-                    if self.compute_trace
-                    else None
-                ),
-            }
-            jobs.extend((i, r) for r in recs)
+        dispatched = [False]  # has any full batch been packed yet?
 
-        # Chunk-batch size: bounded by self.chunk_batch, bucketed so a
-        # handful of chunks does not pay for a full batch of padding.
-        CB = min(self.chunk_batch, bucket_length(len(jobs), 8))
+        def _register(items):
+            for i, rt in items:
+                seg = rt.active()
+                plan = plan_chunks(seg.size, stride, chunk_T, self.overlap)
+                recs = chunk_records(plan)
+                nb = plan.nblocks
+                state[i] = {
+                    "rt": rt,
+                    "seg": seg,
+                    "adc_seg": rt.adc[rt.start : rt.end]
+                    if i16_ok and _i16_capable(rt) else None,
+                    "scal": (rt.cal[0], rt.cal[1], rt.norm[0], rt.norm[1])
+                    if i16_ok and _i16_capable(rt) else None,
+                    "nb": nb,
+                    "remaining": len(recs),
+                    "score": 0.0,
+                    "path": np.zeros(nb + 1, np.int8),
+                    "qchar": np.zeros(nb + 1, np.uint8),
+                    "trace": (
+                        np.zeros((nb + 1, nstate), np.uint8)
+                        if self.compute_trace
+                        else None
+                    ),
+                }
+                jobs.extend((i, r) for r in recs)
 
-        def _pack(job_slice):
+        def _pack(job_slice, CB):
             """One packed [CB, ...] upload buffer -> (kind, buf)."""
             # dummy rows: a few valid samples, empty score range
             lengths = np.full(CB, stride, np.int32)
@@ -1123,20 +1195,20 @@ class Basecaller:
             pend_parts.clear()
             pend_bufs.clear()
 
-        for ofs in range(0, len(jobs), CB):
-            part = jobs[ofs : ofs + CB]
+        def _route(part, CB):
+            nonlocal pend_kind
             try:
                 with timing.phase("pack"):
-                    kind, buf = _pack(part)
+                    kind, buf = _pack(part, CB)
             except Exception as exc:  # noqa: BLE001 - batch isolation
                 _on_error(part, exc)
-                continue
+                return
             if G <= 1:
                 try:
                     pipe.push(part, _dispatch_one(kind, buf))
                 except Exception as exc:  # noqa: BLE001
                     _on_error(part, exc)
-                continue
+                return
             if pend_bufs and kind != pend_kind:
                 _flush_singles()
             pend_kind = kind
@@ -1144,8 +1216,32 @@ class Basecaller:
             pend_bufs.append(buf)
             if len(pend_bufs) == G:
                 _flush_group()
-        _flush_singles()
-        pipe.drain()
+
+        def add(items):
+            _register(items)
+            while len(jobs) >= self.chunk_batch:
+                part = jobs[: self.chunk_batch]
+                del jobs[: self.chunk_batch]
+                dispatched[0] = True
+                _route(part, self.chunk_batch)
+
+        def finish():
+            # Tail batch size: when NO full batch was ever reached, a
+            # handful of chunks should not pay a full batch of padding
+            # (bucketed -- the same choice as the old one-shot path);
+            # after any full batch, keep the production size so the
+            # tail reuses the already-compiled program shape.
+            if jobs:
+                CB = (self.chunk_batch if dispatched[0]
+                      else min(self.chunk_batch, bucket_length(len(jobs), 8)))
+                while jobs:
+                    part = jobs[:CB]
+                    del jobs[:CB]
+                    _route(part, CB)
+            _flush_singles()
+            pipe.drain()
+
+        return SimpleNamespace(add=add, finish=finish)
 
     # -- chunked long-read path --------------------------------------------
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -27,6 +28,10 @@ from contextlib import contextmanager
 _acc: dict = defaultdict(float)
 _calls: dict = defaultdict(int)
 _t0 = time.perf_counter()
+# phases accrue from more than one thread (wave-streamed preprocessing
+# brackets its phase on a background thread); += on a dict entry is a
+# read-modify-write that can drop an update without this lock
+_lock = threading.Lock()
 
 
 @contextmanager
@@ -35,13 +40,13 @@ def phase(name: str):
     try:
         yield
     finally:
-        _acc[name] += time.perf_counter() - t
-        _calls[name] += 1
+        add(name, time.perf_counter() - t)
 
 
 def add(name: str, seconds: float) -> None:
-    _acc[name] += seconds
-    _calls[name] += 1
+    with _lock:
+        _acc[name] += seconds
+        _calls[name] += 1
 
 
 def reset() -> None:

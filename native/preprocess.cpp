@@ -24,17 +24,27 @@
 
 namespace {
 
-// quantile with linear interpolation (reference src/util.c:100-138)
+// quantile with linear interpolation (reference src/util.c:100-138).
+//
+// The reference qsorts the whole copy; only space[idx] and
+// space[idx+1] of the sorted order are ever read, so selection via
+// std::nth_element + a min over the right partition produces the SAME
+// values (selection is exact -- no float arithmetic is involved in
+// ordering) at O(n) instead of O(n log n).  med-MAD normalisation
+// calls this three times per read, which made the full sort the
+// largest single host phase in the round-4 soak (docs/SOAK_r4.json).
 float quantilef(const float* x, size_t nx, float p) {
     std::vector<float> space(x, x + nx);
-    std::sort(space.begin(), space.end());
     const float prod = p * (float)(nx - 1);   // float arithmetic, as C
     const size_t idx = (size_t)prod;          // truncation
     const float remf = prod - (float)idx;
+    std::nth_element(space.begin(), space.begin() + idx, space.end());
     if (idx < nx - 1) {
+        const float hi = *std::min_element(space.begin() + idx + 1,
+                                           space.end());
         // C: (1.0 - remf) * space[idx] + remf * space[idx + 1] in double
         return (float)((1.0 - (double)remf) * (double)space[idx] +
-                       (double)remf * (double)space[idx + 1]);
+                       (double)remf * (double)hi);
     }
     return space[idx];
 }

@@ -309,3 +309,48 @@ def test_grouped_fullread_dispatch_byte_identity(cfg_params):
     grp = np.asarray(caller.dispatch_packed_batch_i16_grouped(
         np.concatenate(bufs, axis=0), G))
     np.testing.assert_array_equal(grp, np.concatenate(per, axis=0))
+
+
+def test_wave_streaming_byte_identity(cfg_params, monkeypatch):
+    """Wave-streamed preprocessing (FLAPPIE_TPU_PREPROCESS_WAVE: wave
+    k+1 preprocesses on a background thread while wave k dispatches)
+    must be byte-identical to one-shot preprocessing, including with
+    grouped dispatch spanning wave boundaries, mixed long/short reads,
+    and a mid-corpus failing read."""
+    cfg, params = cfg_params
+    long_raw = _tiled(RAW, 30000)
+    short_raw = _tiled(RAW, 6000)
+
+    def reads():
+        out = []
+        for k in range(9):
+            if k == 4:
+                # a read whose active window dies in trimming
+                out.append(RawTable(uuid=f"bad{k}", n=50, start=0, end=50,
+                                    raw=np.zeros(50, np.float32)))
+            elif k % 3 == 2:
+                out.append(RawTable(uuid=f"s{k}", n=6000, start=0, end=6000,
+                                    raw=short_raw.copy()))
+            else:
+                out.append(RawTable(uuid=f"l{k}", n=30000, start=0,
+                                    end=30000, raw=long_raw.copy()))
+        return out
+
+    chk = Basecaller(cfg, params=params, chunk=CHUNK, overlap=OVERLAP,
+                     compute_trace=True, chunk_batch=8)
+    monkeypatch.setenv("FLAPPIE_TPU_PREPROCESS_WAVE", "0")
+    base = chk.basecall_raw_tables(reads())
+    monkeypatch.setenv("FLAPPIE_TPU_PREPROCESS_WAVE", "2")
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", "2")
+    wav = chk.basecall_raw_tables(reads())
+    assert base[4] is None and wav[4] is None
+    assert len(base) == len(wav) == 9
+    for a, b in zip(base, wav):
+        if a is None:
+            assert b is None
+            continue
+        assert b.uuid == a.uuid
+        assert b.basecall == a.basecall
+        assert b.quality == a.quality
+        assert b.score == a.score
+        assert np.array_equal(a.trace, b.trace)
