@@ -1025,6 +1025,64 @@ class Basecaller:
         T1 = self.chunk // self.cfg.total_stride + 1
         return _unpack_chunk_outputs(buf, T1, self.cfg.nstate, self.compute_trace)
 
+    def _dummy_chunk_buf(self, kind: str, rows: int) -> np.ndarray:
+        """One chunk batch of dummy rows (a few valid samples, empty
+        score range) packed on the given wire.  Used to pad partial
+        dispatch groups onto the already-compiled grouped program and
+        to prewarm that program; dummy rows decode to nothing and are
+        never collected."""
+        stride = self.cfg.total_stride
+        lengths = np.full(rows, stride, np.int32)
+        z = np.zeros(rows, np.int32)
+        if kind == "f32":
+            return self.pack_chunk_inputs(
+                np.zeros((rows, self.chunk), F32), lengths, z, z)
+        scal = np.zeros((rows, 4), F32)
+        scal[:, 3] = 1.0  # mad=1 -> exact zero signal
+        b16 = self.pack_chunk_inputs_i16(
+            np.zeros((rows, self.chunk), np.int16), lengths, z, z, scal)
+        if kind == "i16":
+            return b16
+        b8 = encode_d8(b16)
+        assert b8 is not None  # zero deltas never need exceptions
+        return b8
+
+    def prewarm_chunked(self) -> None:
+        """Trace + load (or compile) the chunked production program
+        before real data arrives.
+
+        A fresh process pays ~3 s of program trace + compile-cache
+        executable load inside its FIRST dispatch_launch
+        (docs/SOAK_r4.json); calling this on a background thread at
+        CLI startup overlaps that cost with fast5 reading and
+        preprocessing.  Dispatches one dummy group on the production
+        wire (auto -> d8 on TPU) WITHOUT materialising the result --
+        jit tracing is internally locked, so a concurrent real
+        dispatch simply blocks until the shared trace is ready, never
+        traces twice.  Best-effort: failures are swallowed (the real
+        dispatch would surface them)."""
+        try:
+            if not self.chunk:
+                return
+            kind = ("d8" if _prefer_d8()
+                    else "i16" if _upload_mode() != "f32" else "f32")
+            G = _dispatch_group()
+            CB = self.chunk_batch
+            buf = self._dummy_chunk_buf(kind, CB)
+            if G > 1:
+                buf = np.concatenate([buf] * G, axis=0)
+                fn = {"d8": self.dispatch_packed_chunk_d8_grouped,
+                      "i16": self.dispatch_packed_chunk_i16_grouped,
+                      "f32": self.dispatch_packed_chunk_grouped}[kind]
+                fn(buf, G)
+            else:
+                fn = {"d8": self.dispatch_packed_chunk_d8,
+                      "i16": self.dispatch_packed_chunk_i16,
+                      "f32": self.dispatch_packed_chunk}[kind]
+                fn(buf)
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
+
     def _basecall_chunked(self, items, results, reverse: bool) -> None:
         """Batch overlapping chunks of long reads ACROSS reads through
         one fixed-shape program; stitch decoded paths at overlap
@@ -1170,19 +1228,31 @@ class Basecaller:
         # TPU, 1 elsewhere -- see _dispatch_group):
         # G consecutive same-format batches ship as ONE device round
         # trip, amortising the tunnel's fixed per-dispatch floor
-        # (docs/PROBE_group_r3.json).  Exactly-G groups reuse one
-        # compiled program; leftovers go through the single-batch
-        # program.  A failed grouped dispatch drops only its G batches.
+        # (docs/PROBE_group_r3.json).  Partial groups (the run's tail,
+        # or a wire-format change mid-stream) pad with dummy batches
+        # and ride the SAME grouped program: one trace + executable
+        # load per process and one compile per cold cache, instead of
+        # a second single-batch program whose per-process launch cost
+        # dwarfs the padded rows' device time (docs/SOAK_r4.json).  A
+        # failed grouped dispatch drops only its real batches.
         G = _dispatch_group()
         pipe = _Pipeline(_collect, on_error=_on_error)
         pend_kind, pend_parts, pend_bufs = None, [], []
 
+        def _dummy_buf(rows):
+            return self._dummy_chunk_buf(pend_kind, rows)
+
         def _flush_singles():
-            for part, buf in zip(pend_parts, pend_bufs):
-                try:
-                    pipe.push(part, _dispatch_one(pend_kind, buf))
-                except Exception as exc:  # noqa: BLE001 - batch isolation
-                    _on_error(part, exc)
+            if not pend_bufs:
+                return
+            slice_all = [j for p in pend_parts for j in p]
+            try:
+                bufs = list(pend_bufs)
+                while len(bufs) < G:
+                    bufs.append(_dummy_buf(bufs[0].shape[0]))
+                pipe.push(slice_all, _dispatch_grouped(pend_kind, bufs))
+            except Exception as exc:  # noqa: BLE001 - batch isolation
+                _on_error(slice_all, exc)
             pend_parts.clear()
             pend_bufs.clear()
 

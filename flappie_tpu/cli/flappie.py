@@ -268,6 +268,27 @@ def main(argv=None) -> int:
 
     from .. import timing
 
+    # Prewarm the chunked production program on a background thread so
+    # its per-process trace + compile-cache load (~3 s, the largest
+    # fixed cost of a warm run -- docs/SOAK_r4.json) overlaps fast5
+    # reading and preprocessing instead of serialising inside the
+    # first real dispatch.  jit tracing is internally locked, so the
+    # real dispatch shares (or waits for) this trace, never repeats
+    # it.  FLAPPIE_TPU_PREWARM: auto (TPU only, default), 1 (always),
+    # 0 (never).
+    warm_thread = None
+    prewarm = os.environ.get("FLAPPIE_TPU_PREWARM", "auto")
+    if prewarm != "0" and len(files) > 1 and caller.chunk:
+        import jax as _jax
+
+        if prewarm == "1" or _jax.default_backend() == "tpu":
+            import threading
+
+            warm_thread = threading.Thread(
+                target=caller.prewarm_chunked, daemon=True
+            )
+            warm_thread.start()
+
     reads, names, fnames = [], [], []
     with timing.phase("fast5_read"):
         for fn in files:
@@ -328,6 +349,14 @@ def main(argv=None) -> int:
 
     if out is not sys.stdout:
         out.close()
+    if warm_thread is not None:
+        # When the run used the chunked program the prewarm thread
+        # shared its trace and is already done (or finishing its ~1 s
+        # dummy dispatch).  If the run never needed it (all-short
+        # corpus), don't block exit on a possibly-queued compile: give
+        # it a bounded window, then let the daemon thread die with the
+        # process (the orphaned compile completes server-side).
+        warm_thread.join(timeout=30)
     # FLAPPIE_TPU_PHASES=path|stderr: dump the per-phase wall-clock
     # accounting (fast5 read / preprocess / encode_d8 / pack / dispatch
     # / collect / format) so any run can account for every second

@@ -459,3 +459,29 @@ def test_packed_io_layout_roundtrip():
         np.testing.assert_array_equal(nblocks, want[3])
         if compute_trace:
             np.testing.assert_array_equal(trace, want[4])
+
+
+def test_cli_prewarm_identity(tmp_path, monkeypatch):
+    """FLAPPIE_TPU_PREWARM=1 (background trace of the chunked
+    production program at CLI start) must not change any output; the
+    real dispatch shares the prewarmed trace."""
+    from flappie_tpu.cli.flappie import main
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    raw = read_crp(f"{FIX}/raw_signal.crp").reshape(-1)
+    d = tmp_path / "reads"
+    d.mkdir()
+    write_single_read_fast5(str(d / "a.fast5"), raw[:9000], "read-a")
+    write_single_read_fast5(str(d / "b.fast5"), raw[:7000], "read-b")
+
+    args = [str(d), "--chunk", "2560", "--overlap", "600",
+            "--chunk-batch", "8"]
+    monkeypatch.setenv("FLAPPIE_TPU_DISPATCH_GROUP", "2")
+    monkeypatch.setenv("FLAPPIE_TPU_PREWARM", "0")
+    cold_out = tmp_path / "cold.fastq"
+    assert main(args + ["-o", str(cold_out)]) == 0
+    monkeypatch.setenv("FLAPPIE_TPU_PREWARM", "1")
+    warm_out = tmp_path / "warm.fastq"
+    assert main(args + ["-o", str(warm_out)]) == 0
+    assert warm_out.read_text() == cold_out.read_text()
+    assert cold_out.read_text().count("@read-") == 2
