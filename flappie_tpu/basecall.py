@@ -743,6 +743,11 @@ class Basecaller:
     ) -> List[Optional[BasecallResult]]:
         """Preprocess, bucket, batch and decode a set of reads.
 
+        Entries of ``reads`` may be RawTables or zero-arg callables
+        returning a RawTable (lazy reads): callables materialise on
+        the preprocessing wave's background thread, so file IO
+        overlaps device dispatch.
+
         Returns one BasecallResult per input (None where the read failed),
         in input order.
         """
@@ -751,6 +756,18 @@ class Basecaller:
         from . import native
 
         def _pre(batch):
+            # lazy reads: entries may be zero-arg callables producing a
+            # RawTable (e.g. a deferred fast5 read), so file IO rides
+            # the same background thread as preprocessing and overlaps
+            # dispatch instead of serialising ahead of it
+            if any(callable(r) for r in batch):
+                loaded = []
+                for r in batch:
+                    if callable(r):
+                        with timing.phase("fast5_read"):
+                            r = r()
+                    loaded.append(r)
+                batch = loaded
             with timing.phase("preprocess"):
                 return native.preprocess_batch(
                     batch,

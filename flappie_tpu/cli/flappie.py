@@ -290,9 +290,9 @@ def main(argv=None) -> int:
             warm_thread.start()
 
     reads, names, fnames = [], [], []
-    with timing.phase("fast5_read"):
-        for fn in files:
-            if args.multi:
+    if args.multi:
+        with timing.phase("fast5_read"):
+            for fn in files:
                 from ..signal.fast5 import iter_reads
 
                 try:
@@ -301,12 +301,19 @@ def main(argv=None) -> int:
                     rts = []
                 if not rts:
                     rts = [read_raw(fn, scale_to_pA=True)]
-            else:
-                rts = [read_raw(fn, scale_to_pA=True)]
-            for rt in rts:
-                reads.append(rt)
-                names.append(os.path.basename(fn))
-                fnames.append(fn)
+                for rt in rts:
+                    reads.append(rt)
+                    names.append(os.path.basename(fn))
+                    fnames.append(fn)
+    else:
+        # lazy reads: one per file, materialised on the preprocessing
+        # wave's background thread so fast5 IO overlaps dispatch
+        # (read_raw returns an invalid RawTable on failure, so fault
+        # isolation is unchanged)
+        for fn in files:
+            reads.append(lambda fn=fn: read_raw(fn, scale_to_pA=True))
+            names.append(os.path.basename(fn))
+            fnames.append(fn)
     if args.limit > 0:
         reads, names, fnames = reads[: args.limit], names[: args.limit], fnames[: args.limit]
 

@@ -173,18 +173,24 @@ class Server:
         """
         files = expand_files([request])
         reads, names, fnames = [], [], []
-        for fn in files:
-            try:
-                if self.args.multi:
+        if self.args.multi:
+            for fn in files:
+                try:
                     rts = list(iter_reads(fn, scale_to_pA=True)) or [
                         read_raw(fn, scale_to_pA=True)
                     ]
-                else:
-                    rts = [read_raw(fn, scale_to_pA=True)]
-            except Exception:
-                rts = [None]
-            for rt in rts:
-                reads.append(rt)
+                except Exception:
+                    rts = [None]
+                for rt in rts:
+                    reads.append(rt)
+                    names.append(os.path.basename(fn))
+                    fnames.append(fn)
+        else:
+            # lazy reads: fast5 IO rides the preprocessing wave's
+            # background thread and overlaps dispatch (read_raw returns
+            # an invalid RawTable on failure -- same fault isolation)
+            for fn in files:
+                reads.append(lambda fn=fn: read_raw(fn, scale_to_pA=True))
                 names.append(os.path.basename(fn))
                 fnames.append(fn)
         ok_idx = [i for i, rt in enumerate(reads) if rt is not None]
