@@ -417,9 +417,17 @@ def main(argv=None) -> int:
         server.warmup()
     _ack("ready")
 
-    if args.watch:
-        return serve_watch(server)
-    return serve_stdin(server)
+    try:
+        if args.watch:
+            return serve_watch(server)
+        return serve_stdin(server)
+    finally:
+        # FLAPPIE_TPU_PHASES=path|stderr: cumulative per-phase wall
+        # accounting across all requests (same contract as the flappie
+        # CLI), dumped at server exit
+        from .. import timing
+
+        timing.maybe_dump()
 
 
 if __name__ == "__main__":
