@@ -216,7 +216,7 @@ def _preprocess_wave() -> int:
     import os
 
     v = os.environ.get("FLAPPIE_TPU_PREPROCESS_WAVE")
-    return max(0, int(v)) if v is not None else 64
+    return max(0, int(v)) if v else 64
 
 
 @partial(jax.jit, static_argnames=("nbase", "nstate", "viterbi_only", "compute_trace"))
@@ -674,6 +674,14 @@ class Basecaller:
         # dispatches per compiled packed program (wire observability;
         # filled at the _dispatch_packed chokepoint)
         self.dispatch_stats: dict = {}
+        # dispatches can come from the caller thread, the upload pool
+        # and the CLI prewarm thread; the stats increment is a
+        # read-modify-write and the dummy-pad buffers a build-once
+        # cache, so both take this lock
+        import threading as _threading
+
+        self._stats_lock = _threading.Lock()
+        self._dummy_cache: dict = {}
         self._upload_pool = None  # lazy (FLAPPIE_TPU_UPLOAD_THREADS)
         if params is None:
             if checkpoint is not None:
@@ -958,7 +966,8 @@ class Basecaller:
         """
         _chaos_maybe_fail_dispatch()
         name = getattr(program, "__name__", str(program))
-        self.dispatch_stats[name] = self.dispatch_stats.get(name, 0) + 1
+        with self._stats_lock:
+            self.dispatch_stats[name] = self.dispatch_stats.get(name, 0) + 1
         extra = () if G is None else (G,)
         with timing.phase("dispatch"):
             with timing.phase("dispatch_upload"):  # H2D bytes (blocking)
@@ -1047,22 +1056,31 @@ class Basecaller:
         score range) packed on the given wire.  Used to pad partial
         dispatch groups onto the already-compiled grouped program and
         to prewarm that program; dummy rows decode to nothing and are
-        never collected."""
+        never collected.  Deterministic in (kind, rows, self.chunk),
+        so built once and cached (packing + d8-encoding a
+        [chunk_batch, chunk] zero buffer is an O(CB*W) pass otherwise
+        repaid on every tail flush)."""
+        with self._stats_lock:
+            cached = self._dummy_cache.get((kind, rows))
+        if cached is not None:
+            return cached
         stride = self.cfg.total_stride
         lengths = np.full(rows, stride, np.int32)
         z = np.zeros(rows, np.int32)
         if kind == "f32":
-            return self.pack_chunk_inputs(
+            buf = self.pack_chunk_inputs(
                 np.zeros((rows, self.chunk), F32), lengths, z, z)
-        scal = np.zeros((rows, 4), F32)
-        scal[:, 3] = 1.0  # mad=1 -> exact zero signal
-        b16 = self.pack_chunk_inputs_i16(
-            np.zeros((rows, self.chunk), np.int16), lengths, z, z, scal)
-        if kind == "i16":
-            return b16
-        b8 = encode_d8(b16)
-        assert b8 is not None  # zero deltas never need exceptions
-        return b8
+        else:
+            scal = np.zeros((rows, 4), F32)
+            scal[:, 3] = 1.0  # mad=1 -> exact zero signal
+            buf = self.pack_chunk_inputs_i16(
+                np.zeros((rows, self.chunk), np.int16), lengths, z, z, scal)
+            if kind == "d8":
+                buf = encode_d8(buf)
+                assert buf is not None  # zero deltas never need exceptions
+        with self._stats_lock:
+            self._dummy_cache[(kind, rows)] = buf
+        return buf
 
     def prewarm_chunked(self) -> None:
         """Trace + load (or compile) the chunked production program

@@ -341,8 +341,12 @@ def serve_watch(server: Server) -> int:
             del pending[stale]
         for stale in [p for p in retries if p not in current]:
             del retries[stale]
+        # os.path.join(dir, "") normalises the trailing separator so a
+        # --watch path given WITH a trailing slash still matches the
+        # os.path.join-built request paths (a.watch + os.sep would not)
+        watch_prefix = os.path.join(a.watch, "")
         for stale in [d for d, req in server._dest_owner.items()
-                      if req.startswith(a.watch + os.sep) and req not in current]:
+                      if req.startswith(watch_prefix) and req not in current]:
             del server._dest_owner[stale]
         new = watch_scan(path_stats, seen, pending, time.monotonic(), a.poll)
         for path in new:

@@ -216,7 +216,11 @@ def _resolve_ffprec(ffprec, backend: str):
 # HIGHEST (see ops.precision).
 
 
-def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref):
+def _lstm_fused_body(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref, cout_ref=None):
+    """Shared step body of the fused LSTM kernels.  ``cout_ref`` is a
+    static (trace-time) option: None for inference, a [K, B, H] ref for
+    the train variant -- ONE definition keeps the inference and train
+    forward passes bit-compatible, which the custom VJP relies on."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -257,11 +261,18 @@ def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, 
         c2 = f * c + u * gg
         h2 = o * jnp.tanh(c2)
         out_ref[kk] = jnp.where(valid, h2, 0.0).astype(out_ref.dtype)
+        if cout_ref is not None:
+            cout_ref[kk] = jnp.where(valid, c2, 0.0).astype(cout_ref.dtype)
         return jnp.where(valid, h2, h), jnp.where(valid, c2, c)
 
     h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
     h_ref[:] = h
     c_ref[:] = c
+
+
+def _lstm_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref):
+    _lstm_fused_body(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref,
+                     sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref)
 
 
 def _lstm_fused_train_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, cout_ref, h_ref, c_ref, xa_ref):
@@ -271,41 +282,9 @@ def _lstm_fused_train_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw
     is the one sequence the adjoint cannot rebuild without re-running
     the recurrence.  Training-path only -- inference never pays the
     extra [T, B, H] HBM write."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
-
-    H = h_ref.shape[-1]
-    K, B, IN = x_ref.shape
-    g = (pl.num_programs(0) - 1 - t) if backward else t
-    lens = len_ref[:]
-    sw = sw_ref[:]
-    rdot = _make_rdot(rnnprec, sw)
-    xa_ref[:] = (
-        _ff_dot(x_ref[:].reshape(K * B, IN), iw_ref[:], ffprec) + b_ref[:]
-    ).reshape(K, B, 4 * H).astype(xa_ref.dtype)
-
-    def step(k, carry):
-        h, c = carry
-        kk = (K - 1 - k) if backward else k
-        valid = (g * K + kk) < lens
-        xF = xa_ref[kk].astype(jnp.float32) + rdot(h)
-        u = jax.nn.sigmoid(xF[:, :H])
-        f = jax.nn.sigmoid(xF[:, H : 2 * H])
-        gg = jnp.tanh(xF[:, 2 * H : 3 * H])
-        o = jax.nn.sigmoid(xF[:, 3 * H :])
-        c2 = f * c + u * gg
-        h2 = o * jnp.tanh(c2)
-        out_ref[kk] = jnp.where(valid, h2, 0.0).astype(out_ref.dtype)
-        cout_ref[kk] = jnp.where(valid, c2, 0.0).astype(cout_ref.dtype)
-        return jnp.where(valid, h2, h), jnp.where(valid, c2, c)
-
-    h, c = lax.fori_loop(0, K, step, (h_ref[:], c_ref[:]), unroll=True)
-    h_ref[:] = h
-    c_ref[:] = c
+    _lstm_fused_body(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref,
+                     sw_ref, len_ref, out_ref, h_ref, c_ref, xa_ref,
+                     cout_ref=cout_ref)
 
 
 def _grumod_fused_kernel(ffprec, rnnprec, backward, x_ref, iw_ref, b_ref, sw_ref, len_ref, out_ref, h_ref, xa_ref):

@@ -193,6 +193,13 @@ def load_qcal_file(path: str, model: str):
     if "lut" in ent:
         return np.asarray(ent["lut"], np.int32)
     fit = ent.get("fit", {})
+    if "slope" not in fit or "offset" not in fit:
+        # ValueError, not KeyError: the CLIs route ValueError to the
+        # clean --qcal usage message
+        raise ValueError(
+            f"--qcal file {path!r} entry for model {model!r} has "
+            "neither a 'lut' nor a complete 'fit' (slope+offset)"
+        )
     return float(fit["slope"]), float(fit["offset"])
 
 

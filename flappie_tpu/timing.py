@@ -51,23 +51,25 @@ def add(name: str, seconds: float) -> None:
 
 def reset() -> None:
     global _t0
-    _acc.clear()
-    _calls.clear()
-    _t0 = time.perf_counter()
+    with _lock:
+        _acc.clear()
+        _calls.clear()
+        _t0 = time.perf_counter()
 
 
 def report() -> dict:
     total = time.perf_counter() - _t0
+    with _lock:  # a background phase may still be accruing at exit
+        items = sorted(_acc.items(), key=lambda kv: -kv[1])
+        calls = dict(_calls)
     out = {
         "process_wall_s": round(total, 3),
         "phases": {
-            k: {"wall_s": round(v, 3), "calls": _calls[k]}
-            for k, v in sorted(_acc.items(), key=lambda kv: -kv[1])
+            k: {"wall_s": round(v, 3), "calls": calls[k]}
+            for k, v in items
         },
     }
-    accounted = sum(
-        v for k, v in _acc.items() if not k.startswith("_")
-    )
+    accounted = sum(v for k, v in items if not k.startswith("_"))
     out["accounted_s"] = round(accounted, 3)
     return out
 

@@ -213,7 +213,11 @@ void ft_scale_to_pA(float* x, int64_t n, float offset, float range,
 // instead -- all-or-nothing per batch, matching the Python encoder).
 //
 // This is the host-side O(B*W) pass that showed up as a single-core
-// bottleneck in the round-3 soak; rows encode on the thread pool.
+// bottleneck in the round-3 soak; rows encode on worker threads
+// spawned per call (threads are capped at one per 16 rows so a
+// many-core host does not pay ~hardware_concurrency create+join
+// overheads for a 128-row batch whose useful parallelism is far
+// smaller).
 int32_t ft_encode_d8(const int16_t* buf, int64_t B, int64_t Wt,
                      int8_t* out, int32_t nthreads) {
     const int64_t W = Wt - 16;
@@ -223,6 +227,8 @@ int32_t ft_encode_d8(const int16_t* buf, int64_t B, int64_t Wt,
         nthreads = (int32_t)std::thread::hardware_concurrency();
         if (nthreads <= 0) nthreads = 1;
     }
+    const int64_t useful = (B + 15) / 16;  // >=16 rows per thread
+    if (nthreads > useful) nthreads = (int32_t)useful;
     std::atomic<int64_t> next(0);
     std::atomic<bool> failed(false);
     auto worker = [&]() {

@@ -1,4 +1,4 @@
-"""--fast accuracy band over a 512-read corpus, three model families.
+"""--fast accuracy band over a 512-read corpus, four model configs.
 
 Round-3 verdict weak #5: the --fast (bf16-stream recurrence) accuracy
 band was measured on ONE fixture read.  This tool measures it on a
@@ -55,14 +55,15 @@ def gen_corpus(reads_dir: str, n_reads: int, rng) -> int:
     return total
 
 
-def run_flappie(reads_dir: str, model: str, stream: str, out_path: str):
+def run_flappie(reads_dir: str, model: str, stream: str, out_path: str,
+                extra_args=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     env["FLAPPIE_TPU_RNN_STREAM"] = stream
     with open(out_path, "w") as fh:
         proc = subprocess.run(
             [sys.executable, "-m", "flappie_tpu.cli.flappie",
-             "--model", model, reads_dir],
+             "--model", model, *extra_args, reads_dir],
             stdout=fh, stderr=subprocess.PIPE, text=True, env=env,
             timeout=5400)
     if proc.returncode != 0:
@@ -150,15 +151,23 @@ def main() -> int:
     results = {"n_reads": n_reads, "total_samples": total,
                "corpus": "tiled real fixture ADC + per-read jitter",
                "models": {}}
-    jobs = [("r941_native", "flappie"), ("r941_5mC", "flappie"),
-            ("rle_r941_native", "runnie")]
-    for model, surface in jobs:
+    # r941_rna002 runs the RNA production flags (reverse output, delta
+    # normalisation -> the f32 upload wire), so every wire family and
+    # every distinct preprocessing mode has a measured --fast band;
+    # r103_native shares r941_native's graph (and, under synthetic
+    # weights, its numerics), so it adds no information here.
+    jobs = [("r941_native", "flappie", ()), ("r941_5mC", "flappie", ()),
+            ("r941_rna002", "flappie", ("--reverse", "--delta", "1.0")),
+            ("rle_r941_native", "runnie", ())]
+    for model, surface, extra in jobs:
         t0 = time.perf_counter()
         if surface == "flappie":
             exact = run_flappie(reads_dir, model, "f32",
-                                os.path.join(tmp, f"{model}_exact.fastq"))
+                                os.path.join(tmp, f"{model}_exact.fastq"),
+                                extra)
             fast = run_flappie(reads_dir, model, "bf16",
-                               os.path.join(tmp, f"{model}_fast.fastq"))
+                               os.path.join(tmp, f"{model}_fast.fastq"),
+                               extra)
         else:
             exact = run_runnie(reads_dir, "f32",
                                os.path.join(tmp, f"{model}_exact.run"))

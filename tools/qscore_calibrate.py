@@ -121,6 +121,11 @@ def calibrate_model(model: str, n_reads: int, read_len: int,
     # held-out split: every 3rd read is evaluation-only
     train = [r for k, r in enumerate(per_read) if k % 3 != 2]
     held = [r for k, r in enumerate(per_read) if k % 3 == 2]
+    if not train or not held:
+        raise SystemExit(
+            f"need at least 3 usable reads for a train/held-out split, "
+            f"got {len(per_read)} -- raise --reads"
+        )
     tq = np.concatenate([r[0] for r in train])
     tc = np.concatenate([r[1] for r in train])
     hq = np.concatenate([r[0] for r in held])
