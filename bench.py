@@ -293,6 +293,13 @@ def main() -> int:
     best = {name: max(es) for name, es in epochs.items()}
     sps = max(best.values())
     best_name = max(best, key=best.get)
+    # The CLI's DEFAULT configuration (chunk on, d8 wire on TPU, grouped
+    # dispatch) is the chunked_d8_g{G} family -- record it as a
+    # first-class number so the driver artifact always shows what the
+    # shipped config does, not just the best non-default path
+    # (round-4 verdict weak #2).
+    default_name = f"chunked_d8_g{G}"
+    default_es = epochs.get(default_name)
     # per-epoch variance of the headline path: tunnel contention swings
     # epochs by up to ~±40%, so a "best epoch" claim needs its error bar
     best_es = epochs[best_name]
@@ -333,6 +340,14 @@ def main() -> int:
                 "best_path_epochs": [round(e, 1) for e in best_es],
                 "epoch_spread_pct": round(spread_pct, 1),
                 "median_samples_per_second": round(median_sps, 1),
+                "default_config_path": default_name,
+                "default_config_samples_per_second": (
+                    round(max(default_es), 1) if default_es else None
+                ),
+                "default_config_median": (
+                    round(float(np.median(default_es)), 1)
+                    if default_es else None
+                ),
             }
         )
     )

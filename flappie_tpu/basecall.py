@@ -59,20 +59,52 @@ def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
 PIPELINE_DEPTH = 8
 
 
+def _collect_threaded() -> bool:
+    """FLAPPIE_TPU_COLLECT_THREAD (default 1): resolve queued device
+    outputs on ONE background collector thread instead of the caller
+    thread.  The round-4 phase ledger showed collect_wait -- the
+    blocking D2H materialise through the tunnel -- serialising ~2.8 s
+    of every 512-read run against pack/encode/dispatch on the caller
+    thread (docs/SOAK_r4.json); a single ordered collector overlaps it
+    the same way FLAPPIE_TPU_UPLOAD_THREADS overlaps the H2D side.
+    One thread, FIFO, so collects still land in push order and outputs
+    are byte-identical.  0 restores caller-thread collection."""
+    import os
+
+    v = os.environ.get("FLAPPIE_TPU_COLLECT_THREAD")
+    return v != "0" if v is not None else True
+
+
 class _Pipeline:
     """Dispatch-ahead queue: push (tag, device_out) pairs, collect
     materialised (tag, numpy_outs) once the queue exceeds depth.
 
+    Collection (the blocking device wait + D2H + host assembly) runs
+    on one background collector thread by default (see
+    _collect_threaded) so it overlaps the caller's pack/encode/dispatch
+    of later batches; the queue depth still bounds in-flight device
+    outputs by making the caller wait for the oldest collect once more
+    than ``depth`` are pending.  A single FIFO thread preserves push
+    order, so results are byte-identical to caller-thread collection.
+
     ``on_error(tag, exc)``, when given, absorbs materialise/collect
     failures so one bad batch degrades to its own reads instead of
     killing the whole run (reference NULL-propagation style,
-    src/flappie_stdlib.h:37-45)."""
+    src/flappie_stdlib.h:37-45).  Without it, a collect failure
+    re-raises on the caller thread at the next push/drain."""
 
     def __init__(self, collect, depth: int = PIPELINE_DEPTH, on_error=None):
         self._collect = collect
         self._depth = depth
         self._on_error = on_error
         self._q: list = []
+        self._pool = None
+        if _collect_threaded():
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                1, thread_name_prefix="flappie-collect"
+            )
 
     def _run(self, tag, out) -> None:
         try:
@@ -89,11 +121,26 @@ class _Pipeline:
             self._on_error(tag, exc)
 
     def push(self, tag, out) -> None:
+        if self._pool is not None:
+            self._q.append(self._pool.submit(self._run, tag, out))
+            if len(self._q) > self._depth:
+                with timing.phase("collect_bound_wait"):
+                    self._q.pop(0).result()
+            return
         self._q.append((tag, out))
         if len(self._q) > self._depth:
             self._run(*self._q.pop(0))
 
     def drain(self) -> None:
+        if self._pool is not None:
+            try:
+                for fut in self._q:
+                    fut.result()
+            finally:
+                self._q.clear()
+                self._pool.shutdown(wait=True)
+                self._pool = None
+            return
         for tag, out in self._q:
             self._run(tag, out)
         self._q.clear()

@@ -1,0 +1,128 @@
+"""Cross-backend drift check: TPU vs XLA:CPU on the bundled fast5 reads.
+
+Round-4 left the TPU-vs-CPU drift (8/2868 differing bases on the 37.8k
+fixture read, normalised score moving at 1e-5 -- the TPU
+transcendental-ulp band flipping near-ties) as a prose note; this tool
+turns it into a tolerance-banded regression artifact
+(docs/XBACKEND_r5.json) and a pass/fail check, the TPU analogue of the
+reference's Debug-build numeric validation
+(/root/reference/src/flappie_matrix.c:150-232 validate_flappie_matrix).
+
+Checks:
+  1. WITHIN the active backend, the f32 / i16 / d8 wires produce
+     byte-identical output (any drift here is a wire bug, not ulp).
+  2. ACROSS backends (default wire each side): per-read alignment
+     identity >= 99.5% and |normalised score delta| <= 1e-4.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/xbackend_check.py
+
+Exits nonzero outside the band.  tests/test_xbackend.py wraps this when
+a TPU is reachable and validates the committed artifact otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+READS = "/root/reference/reads/single"
+IDENTITY_MIN = 0.995
+SCORE_DELTA_MAX = 1e-4
+
+
+def run_cli(tmp: str, tag: str, platforms: str | None, wire: str,
+            timeout: int = 3600) -> str:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env["FLAPPIE_TPU_UPLOAD"] = wire
+    if platforms is None:
+        env.pop("JAX_PLATFORMS", None)
+    else:
+        env["JAX_PLATFORMS"] = platforms
+    out_path = os.path.join(tmp, f"out_{tag}.fastq")
+    t0 = time.perf_counter()
+    with open(out_path, "w") as fh:
+        proc = subprocess.run(
+            [sys.executable, "-m", "flappie_tpu.cli.flappie",
+             "--model", "r941_native", READS],
+            stdout=fh, stderr=subprocess.PIPE, text=True, env=env,
+            timeout=timeout)
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"CLI run {tag} failed rc={proc.returncode}")
+    print(f"# {tag}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    with open(out_path) as fh:
+        return fh.read()
+
+
+def parse_fastq(text: str) -> dict:
+    """uuid -> (normalised_score, sequence)."""
+    out = {}
+    lines = text.splitlines()
+    for i in range(0, len(lines) - 3, 4):
+        head, seq = lines[i], lines[i + 1]
+        uuid = head[1:].split()[0]
+        m = re.search(r'"normalised_score" : ([-0-9.a-z]+)', head)
+        out[uuid] = (float(m.group(1)) if m else float("nan"), seq)
+    return out
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from flappie_tpu.accuracy import align_identity
+
+    artifact: dict = {"reads_dir": READS, "band": {
+        "identity_min": IDENTITY_MIN, "score_delta_max": SCORE_DELTA_MAX}}
+    failures = []
+    with tempfile.TemporaryDirectory() as tmp:
+        # 1. within-backend wire byte-equality (on the default backend)
+        wire_out = {w: run_cli(tmp, f"wire_{w}", None, w)
+                    for w in ("f32", "i16", "d8")}
+        wires_equal = (wire_out["f32"] == wire_out["i16"]
+                       == wire_out["d8"])
+        artifact["within_backend_wires_byte_equal"] = wires_equal
+        if not wires_equal:
+            failures.append("wire outputs differ within one backend")
+
+        # 2. cross-backend band (reuse the d8 run when it was on TPU)
+        cpu = parse_fastq(run_cli(tmp, "cpu", "cpu", "auto"))
+        dev = parse_fastq(wire_out["d8"]) if wire_out else {}
+        reads = []
+        for uuid, (score_c, seq_c) in sorted(cpu.items()):
+            if uuid not in dev:
+                failures.append(f"{uuid}: missing on device backend")
+                continue
+            score_d, seq_d = dev[uuid]
+            aln = align_identity(seq_d, seq_c)
+            ident = aln.identity
+            sdelta = abs(score_d - score_c)
+            reads.append({
+                "uuid": uuid, "len_cpu": len(seq_c), "len_dev": len(seq_d),
+                "identity": round(ident, 6),
+                "score_delta": round(sdelta, 8),
+                "byte_equal": seq_c == seq_d,
+            })
+            if ident < IDENTITY_MIN:
+                failures.append(f"{uuid}: identity {ident:.4f} < {IDENTITY_MIN}")
+            if not sdelta <= SCORE_DELTA_MAX:  # catches NaN too
+                failures.append(f"{uuid}: score delta {sdelta} > {SCORE_DELTA_MAX}")
+        artifact["reads"] = reads
+        artifact["ok"] = not failures
+        artifact["failures"] = failures
+
+    out = os.path.join(REPO, "docs", "XBACKEND_r5.json")
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps(artifact["reads"], indent=1), file=sys.stderr)
+    print(f"wrote {out}: ok={artifact['ok']} {failures}")
+    return 0 if artifact["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
