@@ -249,6 +249,17 @@ def main() -> int:
             grouped_d8,
             samples_i16 * len(grouped_d8) * G // max(len(chunk_d8), 1),
         )
+        # G=4 is the shipped TPU default (_dispatch_group); wrap the
+        # batch list around so the 9-batch workload fills 2 groups of 4
+        grouped_d8_4 = [
+            np.concatenate((chunk_d8 * 2)[ofs : ofs + 4], axis=0)
+            for ofs in range(0, len(chunk_d8) - 3, 4)
+        ][:2]
+        paths["chunked_d8_g4"] = (
+            lambda b: caller.dispatch_packed_chunk_d8_grouped(b, 4),
+            grouped_d8_4,
+            samples_i16 * len(grouped_d8_4) * 4 // max(len(chunk_d8), 1),
+        )
     paths.update({
         "fullread_i16": (caller.dispatch_packed_batch_i16, packed_full_i16,
                          samples_full_i16),
@@ -286,19 +297,22 @@ def main() -> int:
         # tunnel throughput swings ~±40% epoch to epoch (external
         # contention); 5 best-of epochs per path keeps the recorded
         # number close to the uncontended rate
-        epochs[name] = [pipelined(dispatch, bufs, n, reps)
+        epochs[name] = [pipelined(dispatch, bufs, n, reps,
+                                  submit=caller._submit_dispatch)
                         for _ in range(5)]
         print(f"# {name}: warmup {t_warm:.1f}s, best "
               f"{max(epochs[name]) / 1e6:.2f} Msamples/s", file=sys.stderr)
     best = {name: max(es) for name, es in epochs.items()}
     sps = max(best.values())
     best_name = max(best, key=best.get)
-    # The CLI's DEFAULT configuration (chunk on, d8 wire on TPU, grouped
-    # dispatch) is the chunked_d8_g{G} family -- record it as a
+    # The CLI's DEFAULT configuration (chunk on, d8 wire on TPU,
+    # grouped dispatch at _dispatch_group()=4, threaded upload +
+    # collector) is the chunked_d8_g4 family -- record it as a
     # first-class number so the driver artifact always shows what the
     # shipped config does, not just the best non-default path
     # (round-4 verdict weak #2).
-    default_name = f"chunked_d8_g{G}"
+    default_name = ("chunked_d8_g4" if "chunked_d8_g4" in epochs
+                    else f"chunked_d8_g{G}")
     default_es = epochs.get(default_name)
     # per-epoch variance of the headline path: tunnel contention swings
     # epochs by up to ~±40%, so a "best epoch" claim needs its error bar

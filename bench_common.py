@@ -39,19 +39,23 @@ def build_batches(
 
 def pipelined(
     dispatch: Callable, bufs: Sequence[np.ndarray], samples: int, reps: int,
-    depth: int = 8,
+    depth: int = 8, submit: Callable | None = None,
 ) -> float:
-    """Deep-pipelined epoch over packed dispatch buffers: keep `depth`
-    batches in flight before materialising (a depth-1 queue stalls on
-    the device-launch round trip, which through the axon tunnel reaches
-    ~100+ ms per cycle).  Returns samples/s."""
+    """Deep-pipelined epoch over packed dispatch buffers, through the
+    SAME machinery the production pipeline uses: the _Pipeline queue
+    (collector thread resolves device waits + D2H off the caller
+    thread) and, when ``submit`` is given (Basecaller._submit_dispatch),
+    the upload pool for the blocking H2D round trips.  The round-5
+    roofline (docs/PROFILE_r5.json) showed the caller thread's
+    dispatch+materialise round trips costing more than the device time
+    per batch -- a bench that serialises them measures the tunnel, not
+    the product.  Returns samples/s."""
+    from flappie_tpu.basecall import _Pipeline
+
+    pipe = _Pipeline(lambda tag, out: None, depth=depth)
     t0 = time.perf_counter()
-    pending: list = []
     for _ in range(reps):
         for buf in bufs:
-            pending.append(dispatch(buf))
-            if len(pending) > depth:
-                _ = np.asarray(pending.pop(0))
-    for out in pending:
-        _ = np.asarray(out)
+            pipe.push(None, submit(dispatch, buf) if submit else dispatch(buf))
+    pipe.drain()
     return samples * reps / (time.perf_counter() - t0)

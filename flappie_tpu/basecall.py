@@ -240,13 +240,20 @@ def _upload_threads() -> int:
     host->device round trip (the device_put inside each dispatch,
     ~31.5 ms floor + payload at ~40-75 MB/s, docs/PROBE_dispatch_r3)
     overlaps the next batch's pack/encode instead of serialising with
-    it.  0 (default) dispatches synchronously on the caller thread;
-    outputs are identical either way (ordering is preserved by the
-    dispatch pipeline's queue).  Probe: tools/probe_upload_overlap.py."""
+    it.  Default 1 on TPU (the round-5 roofline, docs/PROFILE_r5.json,
+    showed the caller thread serialising dispatch AND materialise
+    round trips -- together they cost more host time per batch than
+    the batch's device time; one upload thread plus the collector
+    thread moves both off the critical path), 0 elsewhere (no tunnel
+    to hide).  One thread preserves dispatch order; outputs are
+    identical either way (ordering is preserved by the dispatch
+    pipeline's queue).  Probe: tools/probe_upload_overlap.py."""
     import os
 
     v = os.environ.get("FLAPPIE_TPU_UPLOAD_THREADS")
-    return max(0, int(v)) if v else 0
+    if v:
+        return max(0, int(v))
+    return 1 if jax.default_backend() == "tpu" else 0
 
 
 def _preprocess_wave() -> int:

@@ -1,0 +1,105 @@
+"""Chase the RNA --fast band (round-4 verdict next #8).
+
+docs/ACCURACY_fast_r4.json: the bf16-stream (--fast) identity band for
+r941_rna002 under its production flags (--reverse --delta 1.0) is
+p5 = 94.95% / min 92.0%, ~3 points wider than the DNA models
+(~98.3-98.4 p5).  This tool isolates the mechanism by measuring the
+exact-vs-bf16 band for the SAME corpus under a config matrix:
+
+  rna_production   r941_rna002  --reverse --delta 1.0  (the r4 band)
+  rna_no_delta     r941_rna002  --reverse              (med-MAD norm)
+  native_delta     r941_native  --delta 1.0            (delta on DNA arch)
+  native_baseline  r941_native                         (the r4 control)
+  rna_prec_highest r941_rna002 production flags, bf16 stream but
+                   FLAPPIE_TPU_RNN_PRECISION=highest (does a stricter
+                   recurrent step matmul recover the band, i.e. is the
+                   loss amplified through the recurrence rather than
+                   born in the input cast?)
+
+If the band follows --delta across architectures, the mechanism is the
+delta-normalised signal (derivative-like features losing more relative
+precision to the bf16 input cast); if it follows the model, it is the
+rna002 graph.  Writes docs/ACCURACY_fast_r5.json.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/fast_rna_r5.py [NREADS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from fast_mode_accuracy_r4 import band, gen_corpus, run_flappie  # noqa: E402
+
+
+def run_pair(reads_dir, tmp, tag, model, extra, fast_env=None):
+    exact = run_flappie(reads_dir, model, "f32",
+                        os.path.join(tmp, f"{tag}_exact.fastq"), extra)
+    old = {}
+    if fast_env:
+        for k, v in fast_env.items():
+            old[k] = os.environ.get(k)
+            os.environ[k] = v
+    try:
+        fast = run_flappie(reads_dir, model, "bf16",
+                           os.path.join(tmp, f"{tag}_fast.fastq"), extra)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return band(exact, fast)
+
+
+def main() -> int:
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="fastrna_")
+    reads_dir = os.path.join(tmp, "reads")
+    os.makedirs(reads_dir)
+    total = gen_corpus(reads_dir, n_reads, rng)
+    print(f"corpus: {n_reads} reads, {total/1e6:.1f} Msamples", flush=True)
+
+    matrix = [
+        ("rna_production", "r941_rna002", ("--reverse", "--delta", "1.0"),
+         None),
+        ("rna_no_delta", "r941_rna002", ("--reverse",), None),
+        ("native_delta", "r941_native", ("--delta", "1.0"), None),
+        ("native_baseline", "r941_native", (), None),
+        ("rna_prec_highest", "r941_rna002", ("--reverse", "--delta", "1.0"),
+         {"FLAPPIE_TPU_RNN_PRECISION": "highest"}),
+    ]
+    results = {"n_reads": n_reads, "total_samples": total,
+               "corpus": "tiled real fixture ADC + per-read jitter "
+                         "(same generator as ACCURACY_fast_r4)",
+               "configs": {}}
+    for tag, model, extra, env in matrix:
+        t0 = time.perf_counter()
+        res = run_pair(reads_dir, tmp, tag, model, extra, env)
+        res["model"] = model
+        res["flags"] = list(extra)
+        if env:
+            res["fast_env"] = env
+        res["wall_s_both_runs"] = round(time.perf_counter() - t0, 1)
+        results["configs"][tag] = res
+        print(f"{tag}: p5={res['identity_pct']['p5']} "
+              f"min={res['identity_pct']['min']}", flush=True)
+
+    out = os.path.join(REPO, "docs", "ACCURACY_fast_r5.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
