@@ -98,14 +98,17 @@ def teacher_label(cfg, teacher, segs: list):
         _, path, _ = crf_viterbi(trans, nblocks, cfg.nbase)
         return path, nblocks
 
+    # ONE padded shape for every batch: a varying max-length per batch
+    # would compile a fresh program per batch through the remote
+    # compile service (minutes each)
     T = max(s.size for s in segs)
     T += (-T) % cfg.total_stride
     out = []
     bs = 16
     for ofs in range(0, len(segs), bs):
         part = segs[ofs:ofs + bs]
-        sig = np.zeros((len(part), T), np.float32)
-        lengths = np.zeros(len(part), np.int32)
+        sig = np.zeros((bs, T), np.float32)
+        lengths = np.zeros(bs, np.int32)
         for j, s in enumerate(part):
             sig[j, : s.size] = s
             lengths[j] = s.size
@@ -159,6 +162,15 @@ def run_cli(reads_dir: str, out_path: str, checkpoint: str | None):
     for i, line in enumerate(lines):
         if line.startswith("@"):
             calls[line[1:].split()[0]] = lines[i + 1]
+    if not calls:
+        # a tunnel contention event can drop every dispatch (per-batch
+        # "No basecall" isolation); recording that as 0% identity would
+        # be a measurement bug, not a result (tools/train_eval_r5.py
+        # re-runs the evaluation alone)
+        raise RuntimeError(
+            "CLI produced no calls (tunnel event?): "
+            + "; ".join(line for line in proc.stderr.splitlines()
+                        if "dropping" in line or "No basecall" in line)[:500])
     return calls
 
 
@@ -179,7 +191,7 @@ def main() -> int:
 
     os.makedirs(WORK, exist_ok=True)
     results: dict = {"backend": jax.default_backend(), "steps": STEPS,
-                     "batch": B, "chunk": CHUNK, "lr": LR,
+                     "batch": B, "chunk": CHUNK, "lr": LR, "model": MODEL,
                      "corpus": f"{N_TRAIN_READS} train / {N_EVAL_READS} "
                                "eval tiled-fixture reads (jittered)"}
     cfg = get_model_config(MODEL)
@@ -240,6 +252,18 @@ def main() -> int:
     save_npz(trained_ckpt, jax.tree.map(np.asarray, params), cfg)
 
     # held-out CLI evaluation: teacher (default weights) vs student
+    # (TRAIN_R5_SKIP_EVAL=1 skips it -- auxiliary students trained only
+    # as qcal calibration subjects don't need the two CLI runs)
+    if os.environ.get("TRAIN_R5_SKIP_EVAL") == "1":
+        results["eval"] = "skipped (TRAIN_R5_SKIP_EVAL=1)"
+        out = os.path.join(
+            REPO, "docs",
+            "TRAIN_r5.json" if MODEL == "r941_native"
+            else f"TRAIN_r5_{MODEL}.json")
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {out} (no CLI eval)")
+        return 0
     print("# CLI evaluation on held-out corpus", file=sys.stderr)
     eval_dir = os.path.join(WORK, "eval_reads")
     write_fast5_corpus(eval_dir, gen_adc_reads(N_EVAL_READS, rng))
