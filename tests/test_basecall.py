@@ -340,6 +340,42 @@ def test_chaos_dispatch_failure(caller, norm_signal, monkeypatch, capsys):
     assert "chunk batch failed" in capsys.readouterr().err
 
 
+def test_collector_thread_byte_identity(caller, norm_signal, monkeypatch):
+    """The background collector thread (_Pipeline, default on since
+    round 5) must produce byte-identical results to caller-thread
+    collection on both the batch and chunked production paths — FIFO
+    collection preserves push order, so threading is invisible."""
+    sig = norm_signal[:8000]
+    long_sig = np.concatenate([norm_signal, norm_signal])[:40000]
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("FLAPPIE_TPU_COLLECT_THREAD", flag)
+        outs[flag] = caller.basecall_raw_tables(
+            [_fake_rt(sig) for _ in range(3)] + [_fake_rt(long_sig)])
+    assert all(r is not None for r in outs["0"])
+    for a, b in zip(outs["0"], outs["1"]):
+        assert a.basecall == b.basecall
+        assert a.quality == b.quality
+        assert a.score == b.score
+
+
+def test_collector_thread_error_isolation(
+    caller, norm_signal, monkeypatch, capsys
+):
+    """A dispatch failure that surfaces on the COLLECTOR thread (the
+    dispatch ran on the upload pool, so its exception is first seen by
+    the collector resolving the future) still degrades to per-batch
+    None results via _Pipeline.on_error instead of killing the run or
+    leaking out of the background thread."""
+    monkeypatch.setenv("FLAPPIE_TPU_COLLECT_THREAD", "1")
+    monkeypatch.setenv("FLAPPIE_TPU_UPLOAD_THREADS", "2")
+    monkeypatch.setenv("FLAPPIE_TPU_CHAOS_DISPATCH", "1.0")
+    sig = norm_signal[:8000]
+    out = caller.basecall_raw_tables([_fake_rt(sig) for _ in range(2)])
+    assert out == [None, None]
+    assert "batch failed" in capsys.readouterr().err
+
+
 def test_device_phred_matches_host_formula():
     """ops.crf.phred_from_qpath (device, used by _device_decode) must
     agree with decode.seq's host formula, including the double-precision

@@ -53,8 +53,15 @@ def stage(x):
     return jnp.asarray(x)
 
 
-def device_time(dispatch, dev_buf, n_hi=18, n_lo=6, label=""):
-    """Slope-timed device seconds per dispatch (see module docstring)."""
+def device_time(dispatch, dev_buf, n_hi=18, n_lo=6, label="", reps=3):
+    """Slope-timed device seconds per dispatch (see module docstring).
+
+    The lo/hi pair is measured ``reps`` times INTERLEAVED and the
+    per-dispatch slope is taken from the median of each side: a tunnel
+    contention burst that lands inside one timing window then shifts
+    one sample, not the estimate (the r4 run recorded a *negative*
+    fwd-only time from exactly such a burst).
+    """
 
     def run(n):
         outs = [dispatch(dev_buf) for _ in range(n)]
@@ -63,15 +70,21 @@ def device_time(dispatch, dev_buf, n_hi=18, n_lo=6, label=""):
         _ = np.asarray(last if not isinstance(last, tuple) else last[0])
 
     run(2)  # warm: trace + compile + cache load
-    t0 = time.perf_counter()
-    run(n_lo)
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(n_hi)
-    t_hi = time.perf_counter() - t0
+    lo_s, hi_s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(n_lo)
+        lo_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(n_hi)
+        hi_s.append(time.perf_counter() - t0)
+    t_lo = float(np.median(lo_s))
+    t_hi = float(np.median(hi_s))
     per = (t_hi - t_lo) / (n_hi - n_lo)
     print(f"# device {label}: {per*1e3:.1f} ms/dispatch "
-          f"(t{n_lo}={t_lo:.2f}s t{n_hi}={t_hi:.2f}s)", file=sys.stderr)
+          f"(med t{n_lo}={t_lo:.2f}s t{n_hi}={t_hi:.2f}s over {reps} reps; "
+          f"spread lo {min(lo_s):.2f}-{max(lo_s):.2f} "
+          f"hi {min(hi_s):.2f}-{max(hi_s):.2f})", file=sys.stderr)
     return per
 
 

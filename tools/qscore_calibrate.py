@@ -332,7 +332,9 @@ def calibrate_model_fixture(model: str, n_reads: int, read_len: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--student", default=None, metavar="npz",
-                    help="Calibrate this checkpoint instead of the teacher")
+                    help="Calibrate this checkpoint instead of the teacher; "
+                         "a literal '{model}' in the path is substituted "
+                         "per model (checkpoints are architecture-specific)")
     ap.add_argument("--reads", type=int, default=48)
     ap.add_argument("--read-len", type=int, default=5000)
     ap.add_argument("--models", default=DEFAULT_MODELS,
@@ -364,7 +366,9 @@ def main() -> int:
            else calibrate_model)
     for model in args.models.split(","):
         model = model.strip()
-        res = fit(model, args.reads, args.read_len, args.student)
+        student = (args.student.replace("{model}", model)
+                   if args.student else None)
+        res = fit(model, args.reads, args.read_len, student)
         out["models"][model] = res
         e = res["heldout_weighted_mean_abs_phred_error"]
         print(f"{model}: fit q' = {res['fit']['slope']:.3f}*q + "

@@ -30,8 +30,11 @@ MODEL = os.environ.get("TRAIN_R5_MODEL", "r941_native")
 def run_cli(reads_dir: str, out_path: str, checkpoint: str | None) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    # --viterbi on both sides: labels are teacher Viterbi paths (see
+    # tools/train_r5.py run_cli for the measured fb-vs-Viterbi 77.9%
+    # decode-mode artifact this avoids)
     args = [sys.executable, "-m", "flappie_tpu.cli.flappie",
-            "--model", MODEL]
+            "--model", MODEL, "--viterbi"]
     if checkpoint:
         args += ["--checkpoint", checkpoint]
     args.append(reads_dir)

