@@ -49,7 +49,15 @@ def measure(n_data: int, per_device_batch: int, T: int, iters: int) -> dict:
     from bench import build_adc_batches, build_chunk_batches_i16
     from flappie_tpu.basecall import encode_d8
 
-    caller.chunk_batch = max(caller.n_data, 128 // max(1, 128 // B))
+    # chunk-batch rows: production width (128) when the workload yields
+    # enough chunks to fill it, else as many as the reads produce,
+    # rounded to a multiple of the data-axis span (a [16 x 65536] read
+    # batch yields ~80 chunks -- a forced CB=128 then pads 40% of every
+    # device batch, and a CB capped at B/8 starves the MXU)
+    est_chunks = B * max(1, T // 11200)
+    cb = min(128, max(caller.n_data, est_chunks))
+    cb -= cb % caller.n_data
+    caller.chunk_batch = max(caller.n_data, cb)
     adc_batches = build_adc_batches(B, T, n_batches=2)
     chunk_i16, samples = build_chunk_batches_i16(caller, adc_batches)
     chunk_d8 = [encode_d8(b) for b in chunk_i16]

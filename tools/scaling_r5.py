@@ -70,7 +70,9 @@ def main() -> int:
                     "single-chip absolute rate for the same path "
                     "(multi-chip hardware is not available in this "
                     "environment)",
-            "rows": run("tpu", {}, ["--devices", "1"]),
+            "rows": run("tpu", {}, ["--devices", "1",
+                                    "--per-device-batch", "64",
+                                    "--iters", "8"]),
         },
     }
     path = os.path.join(REPO, "docs", "SCALING_r5.json")

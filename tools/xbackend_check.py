@@ -1,4 +1,4 @@
-"""Cross-backend drift check: TPU vs XLA:CPU on the bundled fast5 reads.
+"""Cross-backend drift check: TPU vs XLA:CPU on real-fixture-signal fast5s.
 
 Round-4 left the TPU-vs-CPU drift (8/2868 differing bases on the 37.8k
 fixture read, normalised score moving at 1e-5 -- the TPU
@@ -31,13 +31,38 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-READS = "/root/reference/reads/single"
 IDENTITY_MIN = 0.995
 SCORE_DELTA_MAX = 1e-4
+N_READS = 6
 
 
-def run_cli(tmp: str, tag: str, platforms: str | None, wire: str,
-            timeout: int = 3600) -> str:
+def write_corpus(reads_dir: str) -> None:
+    """Synthesize fast5 reads from the REAL fixture ADC signal.
+
+    /root/reference/reads/*.fast5 are 130-byte git-LFS pointers in this
+    checkout (like the model blobs), so the corpus is the committed
+    37.8k-sample raw_signal.crp tiled to varying lengths with seeded
+    +-2 ADC jitter -- real pore signal shape, deterministic bytes."""
+    import numpy as np
+
+    from flappie_tpu.io.crp import read_crp
+    from flappie_tpu.signal.fast5 import write_single_read_fast5
+
+    adc = read_crp("/root/reference/src/test/raw_signal.crp").reshape(-1)
+    adc = adc.astype(np.int16)
+    rng = np.random.default_rng(77)
+    os.makedirs(reads_dir, exist_ok=True)
+    for i in range(N_READS):
+        n = int(rng.integers(20_000, 38_000))
+        row = np.tile(adc, int(np.ceil(n / adc.size)))[:n]
+        noisy = (row + rng.integers(-2, 3, size=n)).astype(np.int16)
+        write_single_read_fast5(
+            os.path.join(reads_dir, f"read{i:04d}.fast5"), noisy,
+            f"0f776a08-0002-4000-8000-{i:012d}")
+
+
+def run_cli(reads_dir: str, tmp: str, tag: str, platforms: str | None,
+            wire: str, timeout: int = 3600) -> str:
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     env["FLAPPIE_TPU_UPLOAD"] = wire
@@ -50,7 +75,7 @@ def run_cli(tmp: str, tag: str, platforms: str | None, wire: str,
     with open(out_path, "w") as fh:
         proc = subprocess.run(
             [sys.executable, "-m", "flappie_tpu.cli.flappie",
-             "--model", "r941_native", READS],
+             "--model", "r941_native", reads_dir],
             stdout=fh, stderr=subprocess.PIPE, text=True, env=env,
             timeout=timeout)
     if proc.returncode != 0:
@@ -58,7 +83,12 @@ def run_cli(tmp: str, tag: str, platforms: str | None, wire: str,
         raise RuntimeError(f"CLI run {tag} failed rc={proc.returncode}")
     print(f"# {tag}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     with open(out_path) as fh:
-        return fh.read()
+        text = fh.read()
+    if "@" not in text:
+        # an empty call set must never pass as a vacuous band check
+        print(proc.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"CLI run {tag} produced no basecalls")
+    return text
 
 
 def parse_fastq(text: str) -> dict:
@@ -77,12 +107,22 @@ def main() -> int:
     sys.path.insert(0, REPO)
     from flappie_tpu.accuracy import align_identity
 
-    artifact: dict = {"reads_dir": READS, "band": {
-        "identity_min": IDENTITY_MIN, "score_delta_max": SCORE_DELTA_MAX}}
+    artifact: dict = {
+        "corpus": "synthetic fast5 from the committed real fixture ADC "
+                  "(tiled + seeded jitter; reference reads/*.fast5 are "
+                  "git-LFS pointers in this checkout)",
+        "band": {
+            "identity_min": IDENTITY_MIN,
+            "score_delta_max": SCORE_DELTA_MAX,
+        },
+    }
     failures = []
     with tempfile.TemporaryDirectory() as tmp:
+        reads_dir = os.path.join(tmp, "reads")
+        write_corpus(reads_dir)
+
         # 1. within-backend wire byte-equality (on the default backend)
-        wire_out = {w: run_cli(tmp, f"wire_{w}", None, w)
+        wire_out = {w: run_cli(reads_dir, tmp, f"wire_{w}", None, w)
                     for w in ("f32", "i16", "d8")}
         wires_equal = (wire_out["f32"] == wire_out["i16"]
                        == wire_out["d8"])
@@ -91,7 +131,7 @@ def main() -> int:
             failures.append("wire outputs differ within one backend")
 
         # 2. cross-backend band (reuse the d8 run when it was on TPU)
-        cpu = parse_fastq(run_cli(tmp, "cpu", "cpu", "auto"))
+        cpu = parse_fastq(run_cli(reads_dir, tmp, "cpu", "cpu", "auto"))
         dev = parse_fastq(wire_out["d8"]) if wire_out else {}
         reads = []
         for uuid, (score_c, seq_c) in sorted(cpu.items()):
@@ -112,6 +152,8 @@ def main() -> int:
                 failures.append(f"{uuid}: identity {ident:.4f} < {IDENTITY_MIN}")
             if not sdelta <= SCORE_DELTA_MAX:  # catches NaN too
                 failures.append(f"{uuid}: score delta {sdelta} > {SCORE_DELTA_MAX}")
+        if not reads:
+            failures.append("no reads measured (empty call sets)")
         artifact["reads"] = reads
         artifact["ok"] = not failures
         artifact["failures"] = failures
