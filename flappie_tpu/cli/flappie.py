@@ -142,7 +142,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "to the reference: ~98.9%% median identity vs the "
                         "exact stream, max phred shift 2, over 512 reads "
                         "per model family (tools/fast_mode_accuracy_r4.py "
-                        "-> docs/ACCURACY_fast_r4.json)")
+                        "-> docs/ACCURACY_fast_r4.json).  Delta-mode "
+                        "reads (--delta, e.g. dRNA) sit in a wider band "
+                        "(p5 ~95.4%% vs ~98.3%%) born in the bf16 cast of "
+                        "the delta-normalised stream -- mechanism matrix "
+                        "in docs/ACCURACY_fast_r5.json; use the default "
+                        "exact stream when that band matters")
     p.add_argument("--qcal", default=None, metavar="slope:offset|file",
                    help="Calibrate quality scores post-hoc: either "
                         "q' = slope*q + offset per base, or the path of "

@@ -94,6 +94,25 @@ def main() -> int:
         print(f"{tag}: p5={res['identity_pct']['p5']} "
               f"min={res['identity_pct']['min']}", flush=True)
 
+    c = results["configs"]
+    results["conclusion"] = (
+        "The RNA --fast band follows --delta 1.0 EXACTLY, not the "
+        f"model: with delta, p5={c['rna_production']['identity_pct']['p5']} "
+        "on r941_rna002 and "
+        f"p5={c['native_delta']['identity_pct']['p5']} on r941_native "
+        "(the two share an architecture, so same-seed runs coincide); "
+        "without delta both recover to "
+        f"p5={c['rna_no_delta']['identity_pct']['p5']} -- the DNA-model "
+        "band.  FLAPPIE_TPU_RNN_PRECISION=highest recovers the tail "
+        f"(min {c['rna_production']['identity_pct']['min']} -> "
+        f"{c['rna_prec_highest']['identity_pct']['min']}) but not p5 "
+        f"({c['rna_prec_highest']['identity_pct']['p5']}): the loss is "
+        "born in the bf16 cast of the delta-normalised input stream "
+        "(derivative-like features carry less signal per sample, so "
+        "bf16's ~0.4% relative quantisation consumes more of their "
+        "SNR).  Delta-mode users who need the DNA-model --fast band "
+        "should run the exact f32 stream (the default) for those reads.")
+
     out = os.path.join(REPO, "docs", "ACCURACY_fast_r5.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
