@@ -78,21 +78,12 @@ def main() -> int:
     out["h2d"] = {"serial_s": round(t_ser, 4), "threads_s": round(t_par, 4),
                   "speedup": round(t_ser / t_par, 2)}
 
-    # -- D2H ----------------------------------------------------------
-    dev = [jnp.asarray(b) for b in host_bufs]
-    jax.block_until_ready(dev)
-
-    def d2h_serial():
-        _ = [np.asarray(d) for d in dev]
-
-    def d2h_threads():
-        futs = [pool.submit(np.asarray, d) for d in dev]
-        _ = [f.result() for f in futs]
-
-    t_ser = timed(d2h_serial)
-    t_par = timed(d2h_threads)
-    out["d2h"] = {"serial_s": round(t_ser, 4), "threads_s": round(t_par, 4),
-                  "speedup": round(t_ser / t_par, 2)}
+    # D2H has no standalone section: a jax.Array caches its host copy
+    # after the first materialise, so repeated np.asarray of the same
+    # buffer times nothing.  The dispatch_roundtrip section below
+    # produces a FRESH device output per call and materialises it, so
+    # it measures launch + device wait + D2H together -- the shape the
+    # collector thread actually resolves.
 
     # -- dispatch (compiled matmul launch + result) -------------------
     x = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))

@@ -153,9 +153,23 @@ def main() -> int:
         "full_d8_g3": (lambda b: caller.dispatch_packed_batch_d8_grouped(b, 3),
                        stage(g3_full), 3 * B_FULL * T_FULL, 3),
     }
-    # forward-only stage at the chunk shape (f32 signal in, trans out):
-    # isolates the network forward so decode share = chunk_total - fwd.
+    # forward-only stage at the chunk shape (f32 signal in, SCALAR
+    # out): isolates the network forward so decode share =
+    # chunk_total - fwd.  The transitions tensor is reduced to one
+    # scalar ON DEVICE -- returning the raw [128, 2560, 40] trans
+    # (52 MB) made the final materialise (~1.3-2 s through the
+    # tunnel, +-0.3 s weather) swamp the ~0.3 s slope signal, which is
+    # how both the r4 and the first r5 run recorded NEGATIVE fwd time.
+    import jax
+    import jax.numpy as jnp
+
     from flappie_tpu.basecall import _device_basecall_fwd
+
+    @jax.jit
+    def fwd_scalar(params, sig_, len_):
+        trans, nblocks = _device_basecall_fwd(
+            params, sig_, len_, caller.cfg, 1.0, "auto")
+        return jnp.sum(trans) + jnp.sum(nblocks)
 
     sig = np.random.default_rng(0).normal(
         0, 1, size=(CB, CHUNK)).astype(np.float32)
@@ -163,8 +177,7 @@ def main() -> int:
     sig_dev, len_dev = stage(sig), stage(lengths)
 
     def fwd_dispatch(_b):
-        return _device_basecall_fwd(
-            caller.params, sig_dev, len_dev, caller.cfg, 1.0, "auto")
+        return fwd_scalar(caller.params, sig_dev, len_dev)
 
     RESULTS["device_ms"] = {}
     RESULTS["device_msamples_per_s_capacity"] = {}
@@ -173,7 +186,7 @@ def main() -> int:
         RESULTS["device_ms"][name] = round(t * 1e3, 2)
         RESULTS["device_msamples_per_s_capacity"][name] = round(
             cap / t / 1e6, 2)
-    t_fwd = device_time(fwd_dispatch, None, n_hi=14, n_lo=6,
+    t_fwd = device_time(fwd_dispatch, None, n_hi=18, n_lo=6,
                         label="fwd_only[128x12800]")
     RESULTS["device_ms"]["fwd_only_chunkshape"] = round(t_fwd * 1e3, 2)
     t_single = RESULTS["device_ms"]["chunk_d8_single"]
